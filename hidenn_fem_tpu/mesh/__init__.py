@@ -1,0 +1,3 @@
+from .types import TriMesh
+from .structured import generate_mesh, rectangle_tri_zigzag, proxy_plate_mesh
+from .gmsh_backend import generate_mesh_gmsh, have_gmsh

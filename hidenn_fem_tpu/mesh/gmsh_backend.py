@@ -1,0 +1,128 @@
+"""gmsh-based unstructured mesh generation (optional dependency, gated).
+
+Capability parity with the reference's ``generate_mesh_gmsh``
+(``/root/reference/src/mesh.py:8-153``): OCC rectangle minus circular
+holes, 2D triangular meshing at size ``lc``, geometric-boundary detection
+from boundary curves plus a radial hole test, coordinate-tolerance BC masks,
+and Neumann-edge extraction.
+
+gmsh is host-only C++ behind a Python API; like the reference, it runs as
+pure preprocessing outside any jit boundary.  The import is gated so the
+rest of the framework (and the test suite) never needs gmsh — the
+structured generator in ``structured.py`` covers that.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .structured import unique_edges, _face_mask
+from .types import TriMesh
+
+__all__ = ["generate_mesh_gmsh", "have_gmsh"]
+
+
+def have_gmsh() -> bool:
+    try:
+        import gmsh  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def generate_mesh_gmsh(
+    length: float = 2.0,
+    height: float = 1.0,
+    holes: List[Tuple[float, float, float]] = (
+        (0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
+    boundaries: Dict[str, int] = None,
+    lc: float = 1e-1,
+) -> TriMesh:
+    """Rectangle-with-holes unstructured mesh via gmsh OCC boolean cut.
+
+    Mirrors ``src/mesh.py:8-153`` (same arguments and defaults).  Raises
+    ImportError with a pointer to the structured fallback when gmsh is not
+    installed.
+    """
+    try:
+        import gmsh
+    except ImportError as e:
+        raise ImportError(
+            "gmsh is not installed; use hidenn_fem_tpu.mesh.generate_mesh "
+            "(structured triangulation, no external deps) instead"
+        ) from e
+
+    if boundaries is None:
+        boundaries = {"up": 0, "down": 0, "right": 2, "left": 1}
+
+    gmsh.initialize()
+    try:
+        gmsh.model.add("plate_with_holes")
+        rect = gmsh.model.occ.addRectangle(0, 0, 0, length, height)
+        hole_tags = [(2, gmsh.model.occ.addDisk(cx, cy, 0, r, r))
+                     for cx, cy, r in holes]
+        if hole_tags:
+            out = gmsh.model.occ.cut([(2, rect)], hole_tags)
+            domain = out[0][0][1]
+        else:
+            domain = rect
+        gmsh.model.occ.synchronize()
+        gmsh.model.mesh.setSize(gmsh.model.getEntities(0), lc)
+        gmsh.model.mesh.generate(2)
+
+        node_tags, node_xyz, _ = gmsh.model.mesh.getNodes()
+        points = np.asarray(node_xyz).reshape(-1, 3)[:, :2]
+        tag_to_idx = {int(t): i for i, t in enumerate(node_tags)}
+
+        elem_types, _, elem_node_tags = gmsh.model.mesh.getElements(2)
+        tris = [np.asarray(nodes).reshape(-1, 3)
+                for etype, nodes in zip(elem_types, elem_node_tags)
+                if etype == 2]
+        tri_tags = (np.vstack(tris) if tris
+                    else np.zeros((0, 3), dtype=np.int64))
+        remap = np.vectorize(tag_to_idx.__getitem__, otypes=[np.int64])
+        cells = remap(tri_tags) if tri_tags.size else tri_tags.astype(np.int64)
+
+        # geometric boundary: nodes on all boundary curves and their points
+        boundary_node_tags = set()
+        for dim, tag in gmsh.model.getBoundary([(2, domain)], oriented=False,
+                                               recursive=False):
+            boundary_node_tags.update(gmsh.model.mesh.getNodes(dim, tag)[0])
+            for pdim, ptag in gmsh.model.getBoundary([(dim, tag)],
+                                                     oriented=False,
+                                                     recursive=False):
+                boundary_node_tags.update(
+                    gmsh.model.mesh.getNodes(pdim, ptag)[0])
+        geom_boundary = np.array(
+            [int(t) in boundary_node_tags for t in node_tags])
+        # radial hole test as a safety net (src/mesh.py:90-95)
+        for cx, cy, r in holes:
+            dist = np.hypot(points[:, 0] - cx, points[:, 1] - cy)
+            geom_boundary |= np.abs(dist - r) < 1e-6
+    finally:
+        gmsh.finalize()
+
+    bc_mask = np.zeros(points.shape[0], dtype=bool)
+    mn_mask = np.zeros(points.shape[0], dtype=bool)
+    for face, condition in boundaries.items():
+        if condition == 0:
+            continue
+        m = _face_mask(points, face, length, height)
+        if condition == 1:
+            bc_mask |= m
+        elif condition == 2:
+            mn_mask |= m
+
+    uedges = unique_edges(cells)
+    neumann_edges = uedges[np.all(mn_mask[uedges], axis=1)]
+
+    return TriMesh.from_arrays(
+        coords=points.astype(np.float32),
+        connectivity=cells,
+        geom_boundary_mask=geom_boundary,
+        dirichlet_mask=bc_mask,
+        neumann_mask=mn_mask,
+        neumann_edges=neumann_edges,
+    )

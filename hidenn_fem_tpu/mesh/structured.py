@@ -1,0 +1,165 @@
+"""Structured triangular mesh generation (host-side, numpy; no 3rd-party
+meshing dependency).
+
+Capability parity with the reference's meshzoo-based ``generate_mesh``
+(``/root/reference/src/mesh.py:155-276``): rectangle triangulated with the
+alternating-diagonal ("zigzag") pattern, circular holes punched by node
+deletion, geometric-boundary / Dirichlet / Neumann masks by coordinate
+tolerance, and Neumann edges extracted as unique element edges whose both
+endpoints carry the Neumann tag.  The reference needs ``meshzoo`` for the
+base grid (``src/mesh.py:187``); here the zigzag triangulation is built
+directly so tests and examples never need external meshers.
+
+All of this is one-time host preprocessing; the output is a ``TriMesh``
+pytree of device arrays (the model/loss input contract).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .types import TriMesh
+
+__all__ = ["rectangle_tri_zigzag", "generate_mesh", "proxy_plate_mesh"]
+
+_TOL = 1e-6
+
+
+def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Triangulate [0,length]x[0,height] on an nx-by-ny point grid.
+
+    Quads are split along alternating diagonals by (i+j) parity, giving the
+    same topology family as meshzoo's ``variant="zigzag"``
+    (``src/mesh.py:187``).  All triangles are counter-clockwise
+    (detJ > 0).  Returns (points [N,2] f64, cells [Ne,3] int64).
+    """
+    xs = np.linspace(0.0, length, nx)
+    ys = np.linspace(0.0, height, ny)
+    xv, yv = np.meshgrid(xs, ys, indexing="ij")
+    points = np.stack([xv.ravel(), yv.ravel()], axis=1)  # idx = i*ny + j
+
+    i, j = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="ij")
+    i = i.ravel()
+    j = j.ravel()
+    n00 = i * ny + j
+    n10 = (i + 1) * ny + j
+    n01 = i * ny + (j + 1)
+    n11 = (i + 1) * ny + (j + 1)
+    even = (i + j) % 2 == 0
+
+    # even quads: diagonal n00-n11; odd quads: diagonal n10-n01
+    t0 = np.where(even[:, None],
+                  np.stack([n00, n10, n11], axis=1),
+                  np.stack([n00, n10, n01], axis=1))
+    t1 = np.where(even[:, None],
+                  np.stack([n00, n11, n01], axis=1),
+                  np.stack([n10, n11, n01], axis=1))
+    cells = np.concatenate([t0, t1], axis=0)
+    return points, cells
+
+
+def _face_mask(points: np.ndarray, face: str, length: float, height: float
+               ) -> np.ndarray:
+    """Coordinate-tolerance face selector (``src/mesh.py:231-244`` analog)."""
+    if face == "up":
+        return np.abs(points[:, 1] - height) < _TOL
+    if face == "down":
+        return np.abs(points[:, 1] - 0.0) < _TOL
+    if face == "left":
+        return np.abs(points[:, 0] - 0.0) < _TOL
+    if face == "right":
+        return np.abs(points[:, 0] - length) < _TOL
+    return np.zeros(points.shape[0], dtype=bool)
+
+
+def unique_edges(cells: np.ndarray) -> np.ndarray:
+    """All unique (sorted) element edges (``src/mesh.py:252-256`` analog)."""
+    all_edges = np.concatenate(
+        [cells[:, [0, 1]], cells[:, [1, 2]], cells[:, [2, 0]]], axis=0)
+    all_edges = np.sort(all_edges, axis=1)
+    return np.unique(all_edges, axis=0)
+
+
+def generate_mesh(
+    length: float = 2.0,
+    height: float = 1.0,
+    holes: List[Tuple[float, float, float]] = (
+        (0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
+    boundaries: Dict[str, int] = None,
+    nx: int = 100,
+    ny: int = 50,
+) -> TriMesh:
+    """Rectangle-with-holes triangular mesh + BC tags.
+
+    Same contract and defaults as the reference (``src/mesh.py:155-276``):
+    ``boundaries`` maps face -> {0: none, 1: Dirichlet, 2: Neumann}.
+    Returns a ``TriMesh`` (use ``.astuple()`` for the raw 6-tuple).
+    """
+    if boundaries is None:
+        boundaries = {"up": 0, "down": 0, "right": 2, "left": 1}
+
+    points, cells = rectangle_tri_zigzag(nx, ny, length, height)
+
+    # --- punch holes: drop inside-nodes (src/mesh.py:192-197)
+    keep = np.ones(points.shape[0], dtype=bool)
+    for cx, cy, r in holes:
+        dx = points[:, 0] - cx
+        dy = points[:, 1] - cy
+        keep &= (dx * dx + dy * dy) > r * r
+    points_kept = points[keep]
+    old_to_new = -np.ones(points.shape[0], dtype=np.int64)
+    old_to_new[keep] = np.arange(points_kept.shape[0])
+
+    # --- keep fully-surviving triangles; survivors of cut triangles are
+    #     geometric boundary nodes (src/mesh.py:204-216), vectorized
+    tri_keep = keep[cells].all(axis=1)
+    cells_kept = old_to_new[cells[tri_keep]]
+    geom_boundary = np.zeros(points_kept.shape[0], dtype=bool)
+    partial = cells[~tri_keep]
+    if partial.size:
+        surv = partial[keep[partial]]
+        geom_boundary[old_to_new[surv]] = True
+
+    # --- outer rectangle boundary (src/mesh.py:219-224)
+    for face in ("up", "down", "left", "right"):
+        geom_boundary |= _face_mask(points_kept, face, length, height)
+
+    # --- BC masks (src/mesh.py:227-249)
+    bc_mask = np.zeros(points_kept.shape[0], dtype=bool)
+    mn_mask = np.zeros(points_kept.shape[0], dtype=bool)
+    for face, condition in boundaries.items():
+        if condition == 0:
+            continue
+        m = _face_mask(points_kept, face, length, height)
+        if condition == 1:
+            bc_mask |= m
+        elif condition == 2:
+            mn_mask |= m
+
+    # --- Neumann edges: both endpoints Neumann (src/mesh.py:252-259)
+    uedges = unique_edges(cells_kept)
+    neumann_edges = uedges[np.all(mn_mask[uedges], axis=1)]
+
+    return TriMesh.from_arrays(
+        coords=points_kept.astype(np.float32),
+        connectivity=cells_kept,
+        geom_boundary_mask=geom_boundary,
+        dirichlet_mask=bc_mask,
+        neumann_mask=mn_mask,
+        neumann_edges=neumann_edges,
+    )
+
+
+def proxy_plate_mesh(nx: int = 81, ny: int = 41, length: float = 2.0,
+                     height: float = 1.0) -> TriMesh:
+    """The hole-free benchmark plate from BASELINE.md: structured zigzag
+    triangulation, left edge Dirichlet, right edge Neumann (100 kN default
+    traction comes from the energy loss).  nx=81, ny=41 gives 6,400 P1
+    elements / 3,321 nodes — the measured-baseline configuration."""
+    return generate_mesh(length=length, height=height, holes=(),
+                         boundaries={"up": 0, "down": 0, "right": 2,
+                                     "left": 1},
+                         nx=nx, ny=ny)

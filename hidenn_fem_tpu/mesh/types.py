@@ -1,0 +1,86 @@
+"""Device-resident mesh containers (frozen pytrees).
+
+The reference passes a 6-tuple of torch tensors around
+(``/root/reference/src/mesh.py:146-153``); here the same contract is a
+registered-dataclass pytree so it can flow through ``jit``/``pjit`` as an
+operand (no recompilation per mesh, shardable, donate-able).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TriMesh"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriMesh:
+    """An unstructured triangular mesh with BC tags.
+
+    Same information as the reference's mesh-generator return contract
+    (``src/mesh.py:139-153``):
+
+    Attributes:
+      coords: [N, 2] float — initial node coordinates.
+      connectivity: [Ne, 3] int32 — P1 triangle node indices.
+      geom_boundary_mask: [N] bool — geometric boundary nodes (their
+        coordinates stay frozen under r-adaptivity).
+      dirichlet_mask: [N] bool — nodes with prescribed displacement.
+      neumann_mask: [N] bool — nodes on the traction boundary.
+      neumann_edges: [E, 2] int32 — edges whose both nodes are Neumann.
+    """
+
+    coords: jax.Array
+    connectivity: jax.Array
+    geom_boundary_mask: jax.Array
+    dirichlet_mask: jax.Array
+    neumann_mask: jax.Array
+    neumann_edges: jax.Array
+
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_elements(self) -> int:
+        return self.connectivity.shape[0]
+
+    @property
+    def n_neumann_edges(self) -> int:
+        return self.neumann_edges.shape[0]
+
+    @classmethod
+    def from_arrays(cls, coords, connectivity, geom_boundary_mask=None,
+                    dirichlet_mask=None, neumann_mask=None,
+                    neumann_edges=None, dtype=jnp.float32) -> "TriMesh":
+        """Normalize host arrays into a device-ready TriMesh."""
+        coords = jnp.asarray(np.asarray(coords), dtype=dtype)
+        n = coords.shape[0]
+
+        def _mask(m):
+            if m is None:
+                return jnp.zeros((n,), dtype=bool)
+            return jnp.asarray(np.asarray(m), dtype=bool)
+
+        if neumann_edges is None:
+            neumann_edges = np.zeros((0, 2), dtype=np.int32)
+        return cls(
+            coords=coords,
+            connectivity=jnp.asarray(np.asarray(connectivity),
+                                     dtype=jnp.int32),
+            geom_boundary_mask=_mask(geom_boundary_mask),
+            dirichlet_mask=_mask(dirichlet_mask),
+            neumann_mask=_mask(neumann_mask),
+            neumann_edges=jnp.asarray(np.asarray(neumann_edges),
+                                      dtype=jnp.int32),
+        )
+
+    def astuple(self):
+        """The reference's 6-tuple contract (``src/mesh.py:146-153``)."""
+        return (self.coords, self.connectivity, self.geom_boundary_mask,
+                self.dirichlet_mask, self.neumann_mask, self.neumann_edges)

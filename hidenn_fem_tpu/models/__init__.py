@@ -1,0 +1,3 @@
+from .linear1d import Linear1D
+from .bilinear2d import Bilinear2D
+from .triangle_p1 import TriangleP1

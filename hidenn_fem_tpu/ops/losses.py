@@ -1,0 +1,238 @@
+"""Variational losses: L2 projection, 1D bar energy, 2D plane-stress energy.
+
+Capability parity with the reference's loss layer:
+
+* L2 projection — inline MSE losses in ``/root/reference/examples/example1.py:38``
+  and ``examples/example2.py:42-46``.
+* 1D bar total potential energy — inline ``energy_loss`` in
+  ``examples/example3.py:27-70``.
+* ``PlaneStressEnergy`` — class ``EnergyLoss2D`` in
+  ``/root/reference/src/loss.py:6-116``.
+
+Everything is a pure function of the parameter pytree, so r-adaptivity
+gradients (w.r.t. nodal coordinates) come from the same ``jax.grad`` call as
+solution gradients — no parameter groups plumbing at the loss level.
+
+Reference-fidelity notes (quirks catalogued in SURVEY.md §2.1 plus one more
+found while rebuilding; each is reproduced behind ``compat="reference"``):
+
+E3  ``EnergyLoss2D.edge_energy`` consumes Gauss-Legendre points from [-1, 1]
+    as if they were edge coordinates in [0, 1] (``src/loss.py:96-101``) —
+    traction work ~2x and partly off-edge.  Default here: correct [0,1] rule.
+E5  The 1D bar loss maps quadrature geometry under ``no_grad``
+    (``examples/example3.py:41-50``) so r-adaptivity gradients do not flow
+    through integration weights.  Default here: fully differentiable.
+E7  (new) The reference's order-4 triangle rule is double-scaled: weights
+    sum to 0.25 instead of the triangle area 0.5 (``src/utils.py:39``
+    applies 0.5 * [-27/96, 25/96, ...] which is already area-scaled) — the
+    default domain energy is half the true integral.  Default here: correct.
+E8  (new) The body-force callback receives *reference-triangle* coordinates,
+    not physical points (``src/loss.py:60, 80`` pass the broadcast
+    ``self.xg``).  Invisible with the default zero body force.  Default
+    here: physical quadrature points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.types import TriMesh
+from ..models.triangle_p1 import TriangleP1
+from . import quadrature as quad
+from .elasticity import plane_stress_C, strain_voigt_from_grad, energy_density
+
+__all__ = ["l2_loss", "bar_energy_1d", "PlaneStressEnergy"]
+
+
+# --------------------------------------------------------------------- L2
+def l2_loss(model, params, x, u_true) -> jax.Array:
+    """Mean-squared collocation loss — the reference's L2-projection
+    objective (``examples/example1.py:38``, ``examples/example2.py:46``)."""
+    pred = model.apply(params, x)
+    return jnp.mean((pred - u_true) ** 2)
+
+
+# ----------------------------------------------------------------- 1D bar
+def bar_energy_1d(model, params, n_gauss: int, b_force: Callable,
+                  E: float, differentiable_geometry: bool = True
+                  ) -> jax.Array:
+    """Total potential energy of a 1D bar:  sum_q w_q (0.5 E u'^2 - b u).
+
+    Rebuilds ``examples/example3.py:27-70``: per-element affine map of the
+    [-1, 1] Gauss rule, du/dx via input-gradient AD (the reference's
+    ``autograd.grad(u, xq, create_graph=True)``, here a ``jax.jvp`` which
+    composes cleanly with the outer reverse-mode parameter gradient).
+
+    Args:
+      differentiable_geometry: if True (default) r-adaptivity gradients flow
+        through the quadrature map; if False, reproduce the reference's
+        ``no_grad`` detach (quirk E5).
+    """
+    xi, wi = quad.interval_gauss_points_m11(n_gauss, dtype=model.dtype)
+    grid = model.grid(params)
+    if not differentiable_geometry:
+        grid = jax.lax.stop_gradient(grid)
+    x_i = grid[:-1, None]                    # [n_elem, 1]
+    x_ip1 = grid[1:, None]
+    xq = 0.5 * (x_ip1 - x_i) * xi + 0.5 * (x_ip1 + x_i)   # [n_elem, ng]
+    wq = 0.5 * (x_ip1 - x_i) * wi
+
+    u, du_dx = jax.jvp(lambda x: model.apply(params, x), (xq,),
+                       (jnp.ones_like(xq),))
+    total = 0.5 * E * du_dx ** 2 - b_force(xq) * u
+    return jnp.sum(wq * total)
+
+
+# ------------------------------------------------------------ 2D elasticity
+@dataclasses.dataclass(frozen=True)
+class PlaneStressEnergy:
+    """Plane-stress total potential energy for the P1 triangle model.
+
+    Rebuilds ``EnergyLoss2D`` (``src/loss.py:6-116``): constitutive matrix
+    precomputed at construction, domain energy by Gaussian quadrature over
+    all elements in one batched pass, Neumann traction work over boundary
+    edges, ``total = domain - edge``.
+
+    Args:
+      model: the TriangleP1 static config.
+      E, nu: Young's modulus / Poisson ratio (defaults ``src/loss.py:9-10``).
+      gauss_order / gauss_order_1d: quadrature orders (``src/loss.py:13-14``).
+      F_total, traction_length: parameters of the default uniform +x traction
+        t = (F_total / traction_length, 0) (``src/loss.py:47-51``).
+      body_force / traction: optional callables x[M,2] -> [M,2] overriding
+        the defaults (zero body force / uniform traction).
+      assembly: "fused" exploits P1 constant strain — one Jacobian per
+        element, quadrature collapses to the weight sum (bit-equal energy,
+        ~n_gauss x less memory traffic); "quadrature" evaluates the model at
+        every quadrature point exactly like the reference hot path
+        (``src/loss.py:60-65``).
+      compat: "exact" (correct numerics) or "reference" (reproduce quirks
+        E3/E7/E8 above for baseline validation).
+    """
+
+    model: TriangleP1
+    E: float = 10e9
+    nu: float = 0.3
+    gauss_order: int = 4
+    gauss_order_1d: int = 2
+    F_total: float = 100e3
+    traction_length: float = 1.0
+    body_force: Optional[Callable] = None
+    traction: Optional[Callable] = None
+    assembly: str = "fused"
+    compat: str = "exact"
+
+    def __post_init__(self):
+        if self.assembly not in ("fused", "quadrature"):
+            raise ValueError(f"unknown assembly mode {self.assembly!r}")
+        if self.compat not in ("exact", "reference"):
+            raise ValueError(f"unknown compat mode {self.compat!r}")
+
+    # ------------------------------------------------------------- tables
+    @property
+    def C(self) -> jax.Array:
+        return plane_stress_C(self.E, self.nu, dtype=self.model.dtype)
+
+    def _domain_rule(self):
+        pts, w = quad.triangle_gauss_points(self.gauss_order,
+                                            dtype=self.model.dtype)
+        if self.compat == "reference" and self.gauss_order == 4:
+            w = 0.5 * w  # quirk E7: reference double-scales the 4-pt rule
+        return pts, w
+
+    def _edge_rule(self):
+        if self.compat == "reference":
+            # quirk E3: raw [-1,1] points used as edge coordinates
+            return quad.interval_gauss_points_m11(self.gauss_order_1d,
+                                                  dtype=self.model.dtype)
+        return quad.interval_gauss_points(self.gauss_order_1d,
+                                          dtype=self.model.dtype)
+
+    def _default_traction(self, x: jax.Array) -> jax.Array:
+        t_x = jnp.full((x.shape[0],), self.F_total / self.traction_length,
+                       dtype=x.dtype)
+        return jnp.stack([t_x, jnp.zeros_like(t_x)], axis=1)
+
+    # ------------------------------------------------------------- domain
+    def domain_energy(self, params, mesh: TriMesh) -> jax.Array:
+        """Elastic strain energy minus body-force work
+        (``src/loss.py:55-88`` analog)."""
+        pts, w = self._domain_rule()
+        ng = w.shape[0]
+        n_elem = mesh.n_elements
+
+        if self.assembly == "fused":
+            det, grad_u = self.model.element_fields(params, mesh)
+            eps = strain_voigt_from_grad(grad_u)          # [Ne, 3]
+            dens = energy_density(eps, self.C)            # [Ne]
+            w_sum = jnp.sum(w)
+            elastic = w_sum * jnp.sum(jnp.abs(det) * dens)
+            if self.body_force is None:
+                return elastic
+            # body work still needs u (and x) at the quadrature points
+            x_ref = jnp.tile(pts, (n_elem, 1))            # [Ne*ng, 2]
+            elem_id = jnp.repeat(jnp.arange(n_elem), ng)
+            u_q = self.model.interpolate(params, mesh, x_ref, elem_id)
+            b = self.body_force(self._quad_points(params, mesh, x_ref,
+                                                  elem_id))
+            qw = jnp.tile(w, (n_elem,)) * jnp.repeat(jnp.abs(det), ng)
+            return elastic - jnp.sum(qw * jnp.sum(b * u_q, axis=1))
+
+        # general quadrature path — the reference's exact hot loop shape
+        x_ref = jnp.tile(pts, (n_elem, 1))                # [Ne*ng, 2]
+        elem_id = jnp.repeat(jnp.arange(n_elem), ng)
+        qw = jnp.tile(w, (n_elem,))
+        u_q, det, grad_u = self.model.apply_domain(params, mesh, x_ref,
+                                                   elem_id)
+        eps = strain_voigt_from_grad(grad_u)
+        dens = energy_density(eps, self.C)
+        qw = qw * jnp.abs(det)
+        elastic = jnp.sum(qw * dens)
+        if self.body_force is None:
+            return elastic
+        b = self.body_force(self._quad_points(params, mesh, x_ref, elem_id))
+        return elastic - jnp.sum(qw * jnp.sum(b * u_q, axis=1))
+
+    def _quad_points(self, params, mesh, x_ref, elem_id) -> jax.Array:
+        """Physical quadrature points (or reference coords in compat mode,
+        reproducing quirk E8)."""
+        if self.compat == "reference":
+            return x_ref
+        coords = self.model.coords(params, mesh)
+        v = coords[mesh.connectivity[elem_id]]            # [M, 3, 2]
+        xi = x_ref[:, 0:1]
+        eta = x_ref[:, 1:2]
+        return xi * v[:, 0] + eta * v[:, 1] + (1.0 - xi - eta) * v[:, 2]
+
+    # --------------------------------------------------------------- edge
+    def edge_energy(self, params, mesh: TriMesh) -> jax.Array:
+        """Neumann traction work (``src/loss.py:91-110`` analog).
+
+        Unlike the reference (quirk E4 crash), a mesh with zero Neumann
+        edges contributes exactly 0.
+        """
+        n_edges = mesh.n_neumann_edges
+        if n_edges == 0:
+            return jnp.zeros((), dtype=self.model.dtype)
+        xi, w = self._edge_rule()
+        ng = w.shape[0]
+        xi_flat = jnp.tile(xi, (n_edges,))                # [E*ng]
+        edge_id = jnp.repeat(jnp.arange(n_edges), ng)
+        wq = jnp.tile(w, (n_edges,))
+
+        u_edge, ds = self.model.apply_edge(params, mesh, xi_flat, edge_id)
+        xq = self.model.edge_points(params, mesh, xi_flat, edge_id)
+        t = (self.traction or self._default_traction)(xq)
+        return jnp.sum(jnp.sum(u_edge * t, axis=1) * wq * ds)
+
+    # -------------------------------------------------------------- total
+    def total(self, params, mesh: TriMesh) -> jax.Array:
+        """Total potential = domain - edge (``src/loss.py:113-116``)."""
+        return self.domain_energy(params, mesh) - self.edge_energy(params,
+                                                                   mesh)
+
+    __call__ = total

@@ -1,0 +1,160 @@
+"""Whole-solve drivers: scan-compiled optimization loops.
+
+The reference drives every solve with a Python epoch loop around
+``loss.backward(); optimizer.step()`` (``examples/example1.py:35-40``,
+``example4.py:70-80``).  Here each solve is ONE compiled program:
+``jax.lax.scan`` over optimizer steps inside a single ``jit``, so the hot
+loop never returns to Python — the idiomatic XLA shape for thousands of
+tiny FEM steps.
+
+Loss functions are closures ``loss_fn(params) -> scalar``; gradients for
+both nodal values and nodal coordinates (r-adaptivity) come from one
+``jax.value_and_grad``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import optimizers as _opt
+
+__all__ = ["minimize", "run_optimizer", "run_lbfgs"]
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
+                                             "num_steps"))
+def _run_first_order(loss_fn, optimizer, num_steps, params):
+    opt_state = optimizer.init(params)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state),
+                                       length=num_steps)
+    return params, losses
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
+                                             "num_steps"))
+def _run_lbfgs(loss_fn, optimizer, num_steps, params):
+    opt_state = optimizer.init(params)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        params, opt_state = carry
+        value, grad = value_and_grad(params, state=opt_state)
+        updates, opt_state = optimizer.update(
+            grad, opt_state, params, value=value, grad=grad,
+            value_fn=loss_fn)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), value
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state),
+                                       length=num_steps)
+    return params, losses
+
+
+def run_optimizer(loss_fn: Callable, params, optimizer, num_steps: int
+                  ) -> Tuple[dict, jax.Array]:
+    """Run a first-order optimizer for ``num_steps``; returns
+    (final_params, per-step loss history [num_steps])."""
+    return _run_first_order(loss_fn, optimizer, num_steps, params)
+
+
+def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
+              memory_size: int = 100, max_linesearch_steps: int = 20
+              ) -> Tuple[dict, jax.Array]:
+    """Run LBFGS iterations (one iteration ~ one torch inner step; the
+    reference's 30 outer epochs x max_iter=20 correspond to
+    ``num_steps=600``)."""
+    optimizer = _opt.lbfgs(memory_size=memory_size,
+                           max_linesearch_steps=max_linesearch_steps)
+    return _run_lbfgs(loss_fn, optimizer, num_steps, params)
+
+
+def minimize(loss_fn: Callable, params, method: str = "adam",
+             num_steps: int = 1000, learning_rate: float = 1e-3,
+             group_lrs: Optional[dict] = None, **kwargs
+             ) -> Tuple[dict, jax.Array]:
+    """One-call solve facade.
+
+    method: "adam" (optionally with ``group_lrs`` for the two-group scheme,
+    ``examples/example4.py:54-57``) or "lbfgs" (``examples/example4.py:68``).
+    """
+    if method == "adam":
+        opt = (_opt.adam_per_group(group_lrs) if group_lrs
+               else _opt.adam(learning_rate))
+        return run_optimizer(loss_fn, params, opt, num_steps)
+    if method == "lbfgs":
+        return run_lbfgs(loss_fn, params, num_steps, **kwargs)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def alternating_solve(loss_fn: Callable, params, outer_epochs: int = 500,
+                      u_steps: int = 10, coord_steps: int = 5,
+                      u_lr: float = 1e-6, coord_lr: float = 1e-7,
+                      u_key: str = "u", coord_key: str = "coords"
+                      ) -> Tuple[dict, jax.Array]:
+    """Alternating freeze scheme: optimize nodal values with the mesh
+    frozen, then node coordinates with values frozen
+    (``examples/example4.py:83-112`` as a first-class strategy).
+
+    The whole alternation compiles to one scan: each outer epoch runs
+    ``u_steps`` value updates then ``coord_steps`` coordinate updates.
+    """
+    opt_u = _opt.freeze_groups(_opt.adam(u_lr), [coord_key])
+    opt_c = _opt.freeze_groups(_opt.adam(coord_lr), [u_key])
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params):
+        state_u = opt_u.init(params)
+        state_c = opt_c.init(params)
+
+        def one_epoch(carry, _):
+            params, state_u, state_c = carry
+
+            def u_step(carry, _):
+                params, state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, state = opt_u.update(grads, state, params)
+                return (optax.apply_updates(params, updates), state), loss
+
+            (params, state_u), _ = jax.lax.scan(
+                u_step, (params, state_u), length=u_steps)
+
+            def c_step(carry, _):
+                params, state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, state = opt_c.update(grads, state, params)
+                return (optax.apply_updates(params, updates), state), loss
+
+            (params, state_c), losses = jax.lax.scan(
+                c_step, (params, state_c), length=coord_steps)
+            return (params, state_u, state_c), losses[-1]
+
+        (params, _, _), losses = jax.lax.scan(
+            one_epoch, (params, state_u, state_c), length=outer_epochs)
+        return params, losses
+
+    return run(params)
+
+
+def two_phase_solve(loss_fn: Callable, params, adam_steps: int = 1000,
+                    lbfgs_steps: int = 800, u_lr: float = 1e-6,
+                    coord_lr: float = 1e-7, u_key: str = "u",
+                    coord_key: str = "coords"):
+    """Adam warmup then LBFGS refinement
+    (``examples/example4.py:114-138`` as a first-class strategy)."""
+    opt = _opt.adam_per_group({u_key: u_lr, coord_key: coord_lr})
+    params, adam_losses = run_optimizer(loss_fn, params, opt, adam_steps)
+    params, lbfgs_losses = run_lbfgs(loss_fn, params, lbfgs_steps)
+    return params, jnp.concatenate([adam_losses, lbfgs_losses])

@@ -1,0 +1,75 @@
+"""Optimizer constructors (optax) for HiDeNN solves.
+
+Replaces the reference's ``torch.optim`` usage:
+
+* plain Adam loops (``examples/example1.py:31``, ``example2.py:37``,
+  ``example3.py:89``),
+* two-group Adam with a smaller learning rate on nodal coordinates
+  (``examples/example4.py:54-57``),
+* LBFGS with the closure pattern (``examples/example4.py:68-80``; torch
+  defaults lr=1, max_iter=20, history_size=100).
+
+Everything returns a plain ``optax.GradientTransformation`` so the scan
+based drivers in ``drivers.py`` can run whole solves inside one ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import optax
+
+__all__ = ["adam", "adam_per_group", "lbfgs"]
+
+
+def adam(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    return optax.adam(learning_rate)
+
+
+def adam_per_group(group_lrs: Dict[str, float]) -> optax.GradientTransformation:
+    """Adam with a separate learning rate per top-level parameter key.
+
+    ``adam_per_group({"u": 1e-4, "coords": 1e-5})`` reproduces the
+    reference's two-group configuration (``examples/example4.py:54-57``)
+    without parameter-group plumbing: labels are the top-level pytree keys.
+    """
+    def label_fn(params):
+        return {k: k for k in params}
+
+    return optax.multi_transform(
+        {k: optax.adam(lr) for k, lr in group_lrs.items()}, label_fn)
+
+
+def lbfgs(memory_size: int = 100, max_linesearch_steps: int = 20
+          ) -> optax.GradientTransformation:
+    """LBFGS with zoom (strong-Wolfe) line search.
+
+    The reference's flagship plate solve depends on LBFGS numerics (Adam
+    demonstrably fails to capture the stress concentration, reference
+    ``README.md:264-268``).  torch's LBFGS uses lr=1 with optional
+    strong-Wolfe search; optax's zoom line search is the equivalent
+    globalization.  ``memory_size`` default matches torch's
+    ``history_size=100``.
+    """
+    return optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps),
+    )
+
+
+def freeze_groups(inner: optax.GradientTransformation, frozen_keys
+                  ) -> optax.GradientTransformation:
+    """Wrap an optimizer so the given top-level keys receive zero updates.
+
+    First-class version of the reference's alternating freeze scheme
+    (``examples/example4.py:83-109`` toggles ``requires_grad``).
+    """
+    frozen = set(frozen_keys)
+
+    def label_fn(params):
+        return {k: ("frozen" if k in frozen else "active") for k in params}
+
+    return optax.multi_transform(
+        {"active": inner, "frozen": optax.set_to_zero()}, label_fn)
