@@ -27,14 +27,21 @@ __all__ = ["rectangle_tri_zigzag", "generate_mesh", "proxy_plate_mesh"]
 _TOL = 1e-6
 
 
-def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float
+def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float,
+                         variant: str = "zigzag"
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Triangulate [0,length]x[0,height] on an nx-by-ny point grid.
 
-    Quads are split along alternating diagonals by (i+j) parity, giving the
-    same topology family as meshzoo's ``variant="zigzag"``
-    (``src/mesh.py:187``).  All triangles are counter-clockwise
-    (detJ > 0).  Returns (points [N,2] f64, cells [Ne,3] int64).
+    variant:
+      * "zigzag" (default): alternating diagonals by (i+j) parity — the
+        same topology family as meshzoo's ``variant="zigzag"``
+        (``src/mesh.py:187``).
+      * "up": every quad split along the n00-n11 diagonal (the baseline
+        proxy-plate triangulation from BASELINE.md).
+      * "down": every quad split along the n10-n01 diagonal.
+
+    All triangles are counter-clockwise (detJ > 0).
+    Returns (points [N,2] f64, cells [Ne,3] int64).
     """
     xs = np.linspace(0.0, length, nx)
     ys = np.linspace(0.0, height, ny)
@@ -48,15 +55,21 @@ def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float
     n10 = (i + 1) * ny + j
     n01 = i * ny + (j + 1)
     n11 = (i + 1) * ny + (j + 1)
-    even = (i + j) % 2 == 0
 
-    # even quads: diagonal n00-n11; odd quads: diagonal n10-n01
-    t0 = np.where(even[:, None],
-                  np.stack([n00, n10, n11], axis=1),
-                  np.stack([n00, n10, n01], axis=1))
-    t1 = np.where(even[:, None],
-                  np.stack([n00, n11, n01], axis=1),
-                  np.stack([n10, n11, n01], axis=1))
+    up0 = np.stack([n00, n10, n11], axis=1)    # diagonal n00-n11
+    up1 = np.stack([n00, n11, n01], axis=1)
+    dn0 = np.stack([n00, n10, n01], axis=1)    # diagonal n10-n01
+    dn1 = np.stack([n10, n11, n01], axis=1)
+    if variant == "up":
+        t0, t1 = up0, up1
+    elif variant == "down":
+        t0, t1 = dn0, dn1
+    elif variant == "zigzag":
+        even = ((i + j) % 2 == 0)[:, None]
+        t0 = np.where(even, up0, dn0)
+        t1 = np.where(even, up1, dn1)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
     cells = np.concatenate([t0, t1], axis=0)
     return points, cells
 
@@ -91,6 +104,7 @@ def generate_mesh(
     boundaries: Dict[str, int] = None,
     nx: int = 100,
     ny: int = 50,
+    variant: str = "zigzag",
 ) -> TriMesh:
     """Rectangle-with-holes triangular mesh + BC tags.
 
@@ -101,7 +115,7 @@ def generate_mesh(
     if boundaries is None:
         boundaries = {"up": 0, "down": 0, "right": 2, "left": 1}
 
-    points, cells = rectangle_tri_zigzag(nx, ny, length, height)
+    points, cells = rectangle_tri_zigzag(nx, ny, length, height, variant)
 
     # --- punch holes: drop inside-nodes (src/mesh.py:192-197)
     keep = np.ones(points.shape[0], dtype=bool)
@@ -154,12 +168,14 @@ def generate_mesh(
 
 
 def proxy_plate_mesh(nx: int = 81, ny: int = 41, length: float = 2.0,
-                     height: float = 1.0) -> TriMesh:
-    """The hole-free benchmark plate from BASELINE.md: structured zigzag
-    triangulation, left edge Dirichlet, right edge Neumann (100 kN default
-    traction comes from the energy loss).  nx=81, ny=41 gives 6,400 P1
-    elements / 3,321 nodes — the measured-baseline configuration."""
+                     height: float = 1.0, variant: str = "up") -> TriMesh:
+    """The hole-free benchmark plate from BASELINE.md: structured
+    triangulation (uniform "up" diagonals — the variant whose
+    reference-compat plateau matches the measured baseline), left edge
+    Dirichlet, right edge Neumann (100 kN default traction comes from the
+    energy loss).  nx=81, ny=41 gives 6,400 P1 elements / 3,321 nodes —
+    the measured-baseline configuration."""
     return generate_mesh(length=length, height=height, holes=(),
                          boundaries={"up": 0, "down": 0, "right": 2,
                                      "left": 1},
-                         nx=nx, ny=ny)
+                         nx=nx, ny=ny, variant=variant)

@@ -92,19 +92,24 @@ class Bilinear2D:
         return self.r_adapt and max(self.nx, self.ny) > 2
 
     def init(self, key) -> dict:
-        """randn nodal values (src/models.py:142 analog) + increment params
-        initialized so the initial grids equal the given grids exactly."""
+        """randn nodal values (src/models.py:142 analog) + increment params.
+
+        Uniform axes use the reference's raw-diff init
+        (``src/models.py:113-116``) — initial grid stays uniform and the
+        softplus slope is well-conditioned; non-uniform axes use the
+        faithful inverse-softplus init so the initial geometry is exact.
+        """
         params = {"u": jax.random.normal(key, (self.nx, self.ny),
                                          dtype=self.dtype)}
         if self.adaptive:
-            gx = np.asarray(self.initial_grid_x)
-            gy = np.asarray(self.initial_grid_y)
-            params["increments_x"] = jnp.asarray(
-                _inv_softplus(np.maximum(np.diff(gx), 2 * _EPS_INC)),
-                dtype=self.dtype)
-            params["increments_y"] = jnp.asarray(
-                _inv_softplus(np.maximum(np.diff(gy), 2 * _EPS_INC)),
-                dtype=self.dtype)
+            for axis, grid in (("x", self.initial_grid_x),
+                               ("y", self.initial_grid_y)):
+                g = np.asarray(grid)
+                diffs = np.maximum(np.diff(g), 2 * _EPS_INC)
+                uniform = np.allclose(g, np.linspace(g[0], g[-1], g.size))
+                raw = diffs if uniform else _inv_softplus(diffs)
+                params[f"increments_{axis}"] = jnp.asarray(raw,
+                                                           dtype=self.dtype)
         return params
 
     # ------------------------------------------------------------- getters

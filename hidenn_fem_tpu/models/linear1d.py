@@ -92,6 +92,14 @@ class Linear1D:
             x_inner=None if (adaptive or uniform)
             else tuple(float(v) for v in node_coords[1:-1]),
         )
+        # Uniform grids: raw-diff increment init (the reference's choice,
+        # ``src/models.py:19``) leaves the initial grid uniform and sits at
+        # a much better-conditioned softplus slope — and reproduces the
+        # reference's optimization trajectory (example-1 MSE parity).
+        # Non-uniform grids need the faithful inverse-softplus init so the
+        # initial geometry is preserved exactly.
+        if uniform:
+            return model, model.init_reference_compat(node_coords)
         return model, model.init(node_coords)
 
     @property
