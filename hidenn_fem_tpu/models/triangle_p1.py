@@ -92,6 +92,19 @@ class TriangleP1:
             jnp.asarray(self.u_fixed, self.dtype), (1, self.dim_u))
         return jnp.where(mesh.dirichlet_mask[:, None], fixed, params["u"])
 
+    def packed_nodes(self, params, mesh: TriMesh) -> jax.Array:
+        """All nodal data as ONE [N, 4] array (cx, cy, ux, uy) with both BC
+        pinnings applied.
+
+        TPU hot-path layout: one wide array means the element kernels do a
+        *single* connectivity gather ([Ne, 3, 4]) instead of four separate
+        [N, 2]-row gathers — TPU gathers run at ~1 row/cycle, so halving
+        the row count halves the dominant assembly cost.
+        """
+        coords = self.coords(params, mesh)
+        u = self.u_full(params, mesh)
+        return jnp.concatenate([coords, u], axis=1)
+
     # ----------------------------------------------------- element algebra
     @staticmethod
     def _jacobian(v0, v1, v2):

@@ -42,8 +42,13 @@ def strain_voigt_from_grad(grad_u: jax.Array) -> jax.Array:
 
 
 def stress_from_strain(eps_voigt: jax.Array, C: jax.Array) -> jax.Array:
-    """sigma = eps @ C^T (``src/loss.py:76``)."""
-    return eps_voigt @ C.T
+    """sigma = eps @ C^T (``src/loss.py:76``).
+
+    Full f32 precision forced: the TPU MXU's default matmul precision is
+    bf16, which costs ~1e-3 relative error on strain energies — measured
+    against f64 ground truth on the benchmark plate.
+    """
+    return jnp.dot(eps_voigt, C.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def energy_density(eps_voigt: jax.Array, C: jax.Array) -> jax.Array:

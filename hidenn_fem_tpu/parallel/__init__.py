@@ -1,0 +1,2 @@
+from .sharding import (device_mesh, pad_mesh, shard_mesh, replicate,
+                       shard_map_energy, mesh_shardings, ELEM_AXIS)

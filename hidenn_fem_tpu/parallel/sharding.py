@@ -1,0 +1,143 @@
+"""Element-batch data parallelism over a JAX device mesh.
+
+The reference has no distributed code at all (SURVEY.md §2: no
+torch.distributed/NCCL/MPI anywhere); its only parallelism is one batched
+tensor op on one device (``src/loss.py:60-65``).  The TPU-native scaling
+axis for HiDeNN-FEM is the **element/quadrature-point dimension**: the
+total energy is a sum of independent per-element terms that only *gather*
+from small replicated nodal arrays, so the natural distribution is
+
+* shard ``connectivity`` (and ``neumann_edges``) along the element axis
+  across chips,
+* replicate nodal parameter arrays (they are O(N) small vs O(Ne*ng)
+  activations),
+* let XLA/GSPMD partition the gathers + elementwise energy kernel and
+  insert the final cross-chip ``psum`` for the scalar reduction —
+  collectives ride ICI, no halo exchange is ever needed.
+
+Two implementations are provided:
+
+* ``shard_mesh`` + plain ``jit``: GSPMD auto-partitioning from sharded
+  operands (the idiomatic pjit route; works with every solver in
+  ``solve/`` unchanged).
+* ``shard_map_energy``: explicit per-device energy with a hand-placed
+  ``psum`` (useful for inspection and as a cross-check).
+
+Padding: element counts must divide the mesh axis; ``pad_mesh`` appends
+*degenerate* elements (all three nodes = node 0) and edges (both nodes =
+node 0).  These contribute exactly zero to energy and gradients: identical
+nodes give grad_u == 0 and detJ == 0 (and ds == 0 for edges), so every
+padded term is 0 * 0 — no masking arrays needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mesh.types import TriMesh
+
+__all__ = ["device_mesh", "pad_mesh", "shard_mesh", "replicate",
+           "shard_map_energy", "mesh_shardings"]
+
+ELEM_AXIS = "elem"
+
+
+def device_mesh(n_devices: Optional[int] = None, axis: str = ELEM_AXIS
+                ) -> Mesh:
+    """1D device mesh over the element axis (the domain's single natural
+    parallel axis; see module docstring)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _ceil_to(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def pad_mesh(tri: TriMesh, n_shards: int) -> TriMesh:
+    """Pad element/edge tables to multiples of ``n_shards`` with degenerate
+    (zero-contribution) entries; node arrays are untouched."""
+    ne = tri.n_elements
+    ne_pad = _ceil_to(ne, n_shards)
+    conn = tri.connectivity
+    if ne_pad != ne:
+        pad = jnp.zeros((ne_pad - ne, 3), dtype=conn.dtype)
+        conn = jnp.concatenate([conn, pad], axis=0)
+    nedg = tri.n_neumann_edges
+    nedg_pad = _ceil_to(max(nedg, 1), n_shards) if nedg else 0
+    edges = tri.neumann_edges
+    if nedg and nedg_pad != nedg:
+        pad = jnp.zeros((nedg_pad - nedg, 2), dtype=edges.dtype)
+        edges = jnp.concatenate([edges, pad], axis=0)
+    return dataclasses.replace(tri, connectivity=conn, neumann_edges=edges)
+
+
+def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
+    """A TriMesh of NamedShardings: element tables sharded, nodes
+    replicated (pass as in_shardings / to device_put)."""
+    elem = NamedSharding(dmesh, P(axis))
+    repl = NamedSharding(dmesh, P())
+    return TriMesh(
+        coords=repl,
+        connectivity=elem,
+        geom_boundary_mask=repl,
+        dirichlet_mask=repl,
+        neumann_mask=repl,
+        neumann_edges=elem,
+    )
+
+
+def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
+    """Pad + place a TriMesh onto the device mesh: connectivity and
+    neumann_edges sharded over ``axis``, nodal arrays replicated.
+
+    The returned mesh can be closed over (or passed) into any jitted loss;
+    GSPMD propagates the shardings through gathers and inserts the psum
+    for scalar reductions.
+    """
+    tri = pad_mesh(tri, dmesh.devices.size)
+    shardings = mesh_shardings(dmesh, axis)
+    return jax.tree.map(jax.device_put, tri, shardings)
+
+
+def replicate(pytree, dmesh: Mesh):
+    """Replicate a parameter pytree across the device mesh."""
+    repl = NamedSharding(dmesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), pytree)
+
+
+def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
+    """Explicit-collective version: per-device partial energies + psum.
+
+    Returns ``loss_fn(params, tri_mesh)`` where ``tri_mesh`` must already
+    be padded (``pad_mesh``).  Each device computes the energy of its
+    element block against the fully replicated nodal arrays, then the
+    scalar partials are psum-reduced over ICI.
+
+    Note: the domain/edge partial energies are linear in the element set,
+    so psum(partials) == total exactly (up to float reassociation).
+    """
+    in_specs = (P(), TriMesh(
+        coords=P(), connectivity=P(axis), geom_boundary_mask=P(),
+        dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis)))
+
+    def per_device(params, tri):
+        dom = energy.domain_energy(params, tri)
+        edg = energy.edge_energy(params, tri)
+        return jax.lax.psum(dom - edg, axis)
+
+    fn = jax.shard_map(per_device, mesh=dmesh, in_specs=in_specs,
+                       out_specs=P(), check_vma=False)
+
+    def loss_fn(params, tri):
+        return fn(params, tri)
+
+    return loss_fn

@@ -1,0 +1,99 @@
+"""Multi-chip (8 virtual CPU devices) sharding tests.
+
+SURVEY.md §4's fake-backend strategy: shard an element batch over an
+8-device mesh and assert the loss (and gradients) match the single-device
+computation to float tolerance.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hidenn_fem_tpu as ht
+from hidenn_fem_tpu.parallel import sharding as sh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = ht.proxy_plate_mesh(nx=17, ny=9)  # 256 elements
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    return mesh, tp1, params, energy
+
+
+def test_pad_mesh_zero_contribution(setup):
+    mesh, tp1, params, energy = setup
+    padded = sh.pad_mesh(mesh, 7)  # force real padding
+    assert padded.n_elements % 7 == 0
+    assert padded.n_elements > mesh.n_elements
+    e0 = float(energy(params, mesh))
+    e1 = float(energy(params, padded))
+    assert np.isclose(e0, e1, rtol=1e-6), (e0, e1)
+    g0 = jax.grad(lambda p: energy(p, mesh))(params)
+    g1 = jax.grad(lambda p: energy(p, padded))(params)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-12)
+
+
+def test_gspmd_sharded_energy_matches(setup, eight_devices):
+    mesh, tp1, params, energy = setup
+    dmesh = sh.device_mesh(8)
+    smesh = sh.shard_mesh(mesh, dmesh)
+    sparams = sh.replicate(params, dmesh)
+
+    e_single = float(energy(params, mesh))
+    e_sharded = float(jax.jit(lambda p: energy(p, smesh))(sparams))
+    assert np.isclose(e_single, e_sharded, rtol=1e-5)
+
+    g0 = jax.grad(lambda p: energy(p, mesh))(params)
+    g1 = jax.jit(jax.grad(lambda p: energy(p, smesh)))(sparams)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=2e-4, atol=1e-10)
+
+
+def test_shard_map_energy_matches(setup, eight_devices):
+    mesh, tp1, params, energy = setup
+    dmesh = sh.device_mesh(8)
+    padded = sh.pad_mesh(mesh, 8)
+    loss_fn = sh.shard_map_energy(energy, dmesh)
+    e_single = float(energy(params, mesh))
+    e_sharded = float(jax.jit(loss_fn)(params, padded))
+    assert np.isclose(e_single, e_sharded, rtol=1e-5)
+    # gradient flows through shard_map + psum
+    g = jax.jit(jax.grad(lambda p: loss_fn(p, padded)))(params)
+    g0 = jax.grad(lambda p: energy(p, mesh))(params)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g0[k]),
+                                   rtol=2e-4, atol=1e-10)
+
+
+def test_sharded_solve_end_to_end(setup, eight_devices):
+    """A short Adam solve on the 8-device mesh tracks the single-device
+    solve (same trajectory up to reassociation noise)."""
+    mesh, tp1, params, energy = setup
+    dmesh = sh.device_mesh(8)
+    smesh = sh.shard_mesh(mesh, dmesh)
+    sparams = sh.replicate(params, dmesh)
+
+    p1, l1 = ht.minimize(lambda p: energy(p, mesh), params, method="adam",
+                         num_steps=50, learning_rate=1e-6)
+    p2, l2 = ht.minimize(lambda p: energy(p, smesh), sparams, method="adam",
+                         num_steps=50, learning_rate=1e-6)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+
+
+def test_edge_padding_degenerate_zero(setup):
+    """Padded (0,0) edges have ds == 0 and contribute nothing."""
+    mesh, tp1, params, energy = setup
+    padded = sh.pad_mesh(mesh, 16)
+    w0 = float(energy.edge_energy(params, mesh))
+    w1 = float(energy.edge_energy(params, padded))
+    assert np.isclose(w0, w1, rtol=1e-6)
