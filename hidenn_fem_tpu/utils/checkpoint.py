@@ -27,8 +27,12 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     step: int = 0, metadata: Optional[dict] = None) -> str:
     """Serialize solve state to ``path`` (atomic rename)."""
     payload = {
-        "params": jax.tree.map(np.asarray, params),
-        "opt_state": (jax.tree.map(np.asarray, opt_state)
+        # to_state_dict flattens arbitrary pytrees (incl. optax NamedTuple
+        # states) into msgpack-able nested dicts
+        "params": jax.tree.map(np.asarray,
+                               serialization.to_state_dict(params)),
+        "opt_state": (jax.tree.map(np.asarray,
+                                   serialization.to_state_dict(opt_state))
                       if opt_state is not None else {}),
         "step": step,
         "metadata": json.dumps(metadata or {}),
