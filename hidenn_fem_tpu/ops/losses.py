@@ -125,12 +125,25 @@ class PlaneStressEnergy:
     traction: Optional[Callable] = None
     assembly: str = "fused"
     compat: str = "exact"
+    # elementwise-kernel backend for the fused path: "auto" picks the
+    # fused Pallas kernel on TPU and plain XLA elsewhere; "pallas" forces
+    # the compiled kernel, "pallas_interpret" runs it in the Pallas
+    # interpreter (CPU-testable), "xla" forces the jnp pipeline.
+    backend: str = "auto"
 
     def __post_init__(self):
         if self.assembly not in ("fused", "quadrature"):
             raise ValueError(f"unknown assembly mode {self.assembly!r}")
         if self.compat not in ("exact", "reference"):
             raise ValueError(f"unknown compat mode {self.compat!r}")
+        if self.backend not in ("auto", "pallas", "pallas_interpret",
+                                "xla"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    def _resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     # ------------------------------------------------------------- tables
     @property
@@ -179,6 +192,26 @@ class PlaneStressEnergy:
             E, nu = self.E, self.nu
             f = E / (1.0 - nu ** 2)
             g = self.model.packed_nodes(params, mesh)[mesh.connectivity]
+            backend = self._resolve_backend()
+            if backend != "xla" and self.model.dim_u == 2:
+                from .pallas_energy import element_energy_pallas
+                gT = g.reshape(n_elem, 12).T          # [12, Ne] lane-major
+                # host-side static scalar (the staged weight table may be
+                # a tracer inside scanned bodies)
+                w_sum = quad.triangle_weight_sum(self.gauss_order)
+                elastic = element_energy_pallas(
+                    gT, float(E), float(nu), w_sum,
+                    backend == "pallas_interpret")
+                if self.body_force is None:
+                    return elastic
+                det, _ = self.model.element_fields(params, mesh)
+                x_ref = jnp.tile(pts, (n_elem, 1))
+                elem_id = jnp.repeat(jnp.arange(n_elem), ng)
+                u_q = self.model.interpolate(params, mesh, x_ref, elem_id)
+                b = self.body_force(self._quad_points(params, mesh, x_ref,
+                                                      elem_id))
+                qw = jnp.tile(w, (n_elem,)) * jnp.repeat(jnp.abs(det), ng)
+                return elastic - jnp.sum(qw * jnp.sum(b * u_q, axis=1))
             v0, v1, v2 = g[:, 0, :], g[:, 1, :], g[:, 2, :]
             ax = v0[:, 0] - v2[:, 0]
             ay = v0[:, 1] - v2[:, 1]

@@ -131,3 +131,11 @@ def triangle_gauss_points(order: int = 1, dtype=jnp.float32):
     """Quadrature (points[n,2], weights[n]) on the unit reference triangle."""
     pts, w = _triangle_rule_f64(order)
     return jnp.asarray(pts, dtype=dtype), jnp.asarray(w, dtype=dtype)
+
+
+def triangle_weight_sum(order: int = 1) -> float:
+    """Host-side (Python float) sum of the triangle rule weights — always
+    the reference-triangle area 0.5; provided so jitted code can consume
+    it as a static scalar without staging the weight table."""
+    _, w = _triangle_rule_f64(order)
+    return float(np.sum(w))
