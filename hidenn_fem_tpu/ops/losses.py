@@ -191,7 +191,13 @@ class PlaneStressEnergy:
         if self.assembly == "fused" and self.compat == "exact":
             E, nu = self.E, self.nu
             f = E / (1.0 - nu ** 2)
-            g = self.model.packed_nodes(params, mesh)[mesh.connectivity]
+            node = self.model.packed_nodes(params, mesh)
+            if mesh.incidence is not None:
+                from .assembly import gather_with_incidence
+                g = gather_with_incidence(node, mesh.connectivity,
+                                          mesh.incidence)
+            else:
+                g = node[mesh.connectivity]
             backend = self._resolve_backend()
             if backend != "xla" and self.model.dim_u == 2:
                 from .pallas_energy import element_energy_pallas

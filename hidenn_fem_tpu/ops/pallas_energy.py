@@ -73,7 +73,13 @@ def _block_energy(g, E, nu, w_sum):
 
 
 def _fwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
-    out_ref[0, 0] = _block_energy(g_ref[...], E, nu, w_sum)
+    # TPU grid iterations are sequential: accumulate every block's partial
+    # energy into the single (1, 1) output
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = jnp.zeros((), out_ref.dtype)
+
+    out_ref[0, 0] += _block_energy(g_ref[...], E, nu, w_sum)
 
 
 def _bwd_kernel(ct_ref, g_ref, out_ref, *, E, nu, w_sum):
@@ -104,17 +110,17 @@ def element_energy_pallas(gT, E, nu, w_sum, interpret=False):
 def _forward(gT, E, nu, w_sum, interpret):
     gT = _pad_cols(gT, _BLOCK)
     nb = gT.shape[1] // _BLOCK
-    partials = pl.pallas_call(
+    total = pl.pallas_call(
         functools.partial(_fwd_kernel, E=E, nu=nu, w_sum=w_sum),
         grid=(nb,),
         in_specs=[pl.BlockSpec((ROWS, _BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 1), gT.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, 1), gT.dtype),
         interpret=interpret,
     )(gT)
-    return jnp.sum(partials)
+    return total[0, 0]
 
 
 def _fwd_rule(gT, E, nu, w_sum, interpret):

@@ -82,7 +82,9 @@ def pad_mesh(tri: TriMesh, n_shards: int) -> TriMesh:
 
 def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     """A TriMesh of NamedShardings: element tables sharded, nodes
-    replicated (pass as in_shardings / to device_put)."""
+    replicated (pass as in_shardings / to device_put).  The incidence
+    field is None: sharded meshes use the scatter-add AD path, whose
+    cross-shard psum produces the correct reduced nodal gradients."""
     elem = NamedSharding(dmesh, P(axis))
     repl = NamedSharding(dmesh, P())
     return TriMesh(
@@ -92,6 +94,7 @@ def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
         dirichlet_mask=repl,
         neumann_mask=repl,
         neumann_edges=elem,
+        incidence=None,
     )
 
 
@@ -103,7 +106,8 @@ def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     GSPMD propagates the shardings through gathers and inserts the psum
     for scalar reductions.
     """
-    tri = pad_mesh(tri, dmesh.devices.size)
+    tri = dataclasses.replace(pad_mesh(tri, dmesh.devices.size),
+                              incidence=None)
     shardings = mesh_shardings(dmesh, axis)
     return jax.tree.map(jax.device_put, tri, shardings)
 
@@ -127,7 +131,8 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
     """
     in_specs = (P(), TriMesh(
         coords=P(), connectivity=P(axis), geom_boundary_mask=P(),
-        dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis)))
+        dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis),
+        incidence=None))
 
     def per_device(params, tri):
         dom = energy.domain_energy(params, tri)
@@ -138,6 +143,8 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
                        out_specs=P(), check_vma=False)
 
     def loss_fn(params, tri):
-        return fn(params, tri)
+        # incidence is node-indexed derived data; the scatter-AD + psum
+        # path owns gradient reduction under sharding
+        return fn(params, dataclasses.replace(tri, incidence=None))
 
     return loss_fn
