@@ -1,0 +1,212 @@
+"""Banded (blocked-window) assembly tables for large meshes.
+
+TPU gathers have a table-row-count cliff: gathering from tables with more
+than ~256K rows runs at ~190 Mrows/s vs ~475 Mrows/s below it (measured on
+v5e; independent of row width and index order).  At the ~1M-element scale
+the nodal table (~500K rows) and the cotangent table (~3M rows) are both
+over the cliff, and the two assembly gathers dominate the energy step.
+
+Fix: exploit mesh *bandwidth*.  After a locality-preserving node ordering
+(structured meshes are already banded; ``reorder_mesh_rcm`` handles general
+ones via reverse Cuthill-McKee), consecutive elements reference nodes in a
+narrow window.  Partition elements into a few blocks, ``dynamic_slice`` the
+node window of each block into a small (<200K-row) table, and gather with
+window-relative indices — every gather runs below the cliff, and the window
+slices are contiguous (bandwidth-speed).  The same construction transposed
+serves the backward: node blocks gather their incident element cotangents
+from windows of the flat cotangent array.
+
+All tables are built once on the host in O(Ne).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BandedAssembly", "build_banded_assembly", "rcm_node_order",
+           "reorder_mesh"]
+
+# keep windows comfortably below the measured ~256K-row gather cliff
+WINDOW_LIMIT = 196_608
+_BLOCK_CANDIDATES = (4, 8, 16, 32, 64, 128)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedAssembly:
+    """Device tables for blocked-window assembly.
+
+    Forward (element blocks over node windows):
+      starts:   [B] int32 — node-window start row per element block.
+      conn_rel: [B, EB, 3] int32 — window-relative connectivity; padding
+        slots are (0,0,0) (degenerate => exactly-zero energy/cotangent).
+
+    Backward (node blocks over cotangent windows):
+      ct_starts: [Bn] int32 — cotangent-window start row per node block.
+      inc_rel:   [Bn, NB, maxdeg] int32 — window-relative incidence into
+        the flat [3*Ne] cotangent rows; unused slots hold the window size
+        (index of a zeros row appended per window).
+    """
+
+    starts: jax.Array
+    conn_rel: jax.Array
+    ct_starts: jax.Array
+    inc_rel: jax.Array
+    # static window sizes (pytree metadata, not leaves)
+    wnode: int = dataclasses.field(metadata=dict(static=True), default=0)
+    wct: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_element_blocks(self) -> int:
+        return self.conn_rel.shape[0]
+
+    @property
+    def elements_per_block(self) -> int:
+        return self.conn_rel.shape[1]
+
+
+def _block_windows(values_min, values_max, total_rows, limit):
+    """Greedy check: given per-block [min, max] node rows, the largest
+    window size (clamped to valid starts)."""
+    sizes = values_max - values_min + 1
+    return int(sizes.max()) if sizes.size else 0
+
+
+def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
+                          incidence: np.ndarray,
+                          window_limit: int = WINDOW_LIMIT
+                          ) -> Optional[BandedAssembly]:
+    """Build a BandedAssembly, or None if the mesh is not bandable.
+
+    Returns None when no candidate block count keeps every node window
+    under ``window_limit`` — callers fall back to global-gather assembly
+    (consider ``rcm_node_order`` + ``structured.reorder_mesh`` first).
+    """
+    conn = np.asarray(connectivity, dtype=np.int64)
+    ne = conn.shape[0]
+    if ne == 0:
+        return None
+
+    # ---- forward tables: element blocks -> node windows
+    fwd = None
+    for b in _BLOCK_CANDIDATES:
+        eb = -(-ne // b)
+        pad = b * eb - ne
+        # pad with a degenerate triple of the last element's first node:
+        # zero contribution AND stays inside the last block's band (a
+        # node-0 pad would widen that window to the whole mesh)
+        pad_row = np.full((pad, 3), conn[-1, 0], np.int64)
+        conn_p = np.concatenate([conn, pad_row]) if pad else conn
+        blocks = conn_p.reshape(b, eb, 3)
+        wmin = blocks.reshape(b, -1).min(axis=1)
+        wmax = blocks.reshape(b, -1).max(axis=1)
+        wsize = int((wmax - wmin + 1).max())
+        if wsize <= window_limit:
+            wnode = min(wsize, n_nodes)
+            starts = np.minimum(wmin, n_nodes - wnode).astype(np.int32)
+            conn_rel = (blocks - starts[:, None, None]).astype(np.int32)
+            fwd = (starts, conn_rel, wnode)
+            break
+    if fwd is None:
+        return None
+
+    # ---- backward tables: node blocks -> cotangent windows
+    inc = np.asarray(incidence, dtype=np.int64)      # [N, maxdeg], -1 pad
+    n, maxdeg = inc.shape
+    n_ct_rows = ne * 3
+    bwd = None
+    for bn in _BLOCK_CANDIDATES:
+        nb = -(-n // bn)
+        pad = bn * nb - n
+        inc_p = np.concatenate(
+            [inc, np.full((pad, maxdeg), -1, np.int64)]) if pad else inc
+        blocks = inc_p.reshape(bn, nb, maxdeg)
+        valid = blocks >= 0
+        # min/max over valid entries per block
+        big = np.where(valid, blocks, np.int64(n_ct_rows))
+        small = np.where(valid, blocks, np.int64(-1))
+        wmin = big.reshape(bn, -1).min(axis=1)
+        wmax = small.reshape(bn, -1).max(axis=1)
+        empty = wmax < 0
+        wmin = np.where(empty, 0, wmin)
+        wmax = np.where(empty, 0, wmax)
+        wsize = int((wmax - wmin + 1).max())
+        if wsize <= window_limit:
+            wct = min(wsize, n_ct_rows)
+            ct_starts = np.minimum(wmin, n_ct_rows - wct).astype(np.int32)
+            rel = blocks - ct_starts[:, None, None]
+            rel = np.where(valid, rel, np.int64(wct)).astype(np.int32)
+            bwd = (ct_starts, rel, wct)
+            break
+    if bwd is None:
+        return None
+
+    starts, conn_rel, wnode = fwd
+    ct_starts, inc_rel, wct = bwd
+    return BandedAssembly(
+        starts=jnp.asarray(starts),
+        conn_rel=jnp.asarray(conn_rel),
+        ct_starts=jnp.asarray(ct_starts),
+        inc_rel=jnp.asarray(inc_rel),
+        wnode=wnode,
+        wct=wct,
+    )
+
+
+def reorder_mesh(mesh, build_banded="auto"):
+    """Bandwidth-reducing reorder of a TriMesh: RCM node permutation,
+    connectivity renumbering, elements sorted by smallest node — then all
+    derived assembly tables rebuilt.  Use on unstructured (e.g. gmsh)
+    meshes before large solves; structured meshes are already banded.
+
+    Note: node/element order changes; parameter pytrees built against the
+    old ordering do not transfer.
+    """
+    from .types import TriMesh
+
+    conn = np.asarray(mesh.connectivity)
+    n = mesh.n_nodes
+    perm = rcm_node_order(conn, n)                 # new_pos -> old_index
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    new_conn = inv[conn]
+    order = np.argsort(new_conn.min(axis=1), kind="stable")
+    new_conn = new_conn[order]
+
+    def _p(x):
+        return np.asarray(x)[perm]
+
+    ne = np.asarray(mesh.neumann_edges)
+    return TriMesh.from_arrays(
+        coords=_p(mesh.coords),
+        connectivity=new_conn,
+        geom_boundary_mask=_p(mesh.geom_boundary_mask),
+        dirichlet_mask=_p(mesh.dirichlet_mask),
+        neumann_mask=_p(mesh.neumann_mask),
+        neumann_edges=inv[ne] if ne.size else ne,
+        build_banded=build_banded,
+    )
+
+
+def rcm_node_order(connectivity: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Reverse-Cuthill-McKee node permutation (bandwidth reduction) for
+    general unstructured meshes; apply before building banded tables.
+
+    Returns ``perm`` with new_index = perm_inv[old_index]; see
+    ``structured.reorder_mesh``.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    conn = np.asarray(connectivity, dtype=np.int64)
+    rows = np.concatenate([conn[:, 0], conn[:, 1], conn[:, 2]])
+    cols = np.concatenate([conn[:, 1], conn[:, 2], conn[:, 0]])
+    data = np.ones(rows.size, dtype=np.int8)
+    adj = sp.coo_matrix((data, (rows, cols)), shape=(n_nodes, n_nodes))
+    adj = (adj + adj.T).tocsr()
+    return np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))

@@ -70,7 +70,10 @@ def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float,
         t1 = np.where(even, up1, dn1)
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    cells = np.concatenate([t0, t1], axis=0)
+    # interleave the two triangles of each quad so consecutive elements
+    # reference nearby nodes — keeps the element order banded (required by
+    # the blocked-window assembly, mesh/banded.py)
+    cells = np.stack([t0, t1], axis=1).reshape(-1, 3)
     return points, cells
 
 

@@ -74,6 +74,10 @@ class TriMesh:
     # scatter-add AD (required for element-sharded multichip meshes, where
     # nodal grads reduce across shards).
     incidence: Optional[jax.Array] = None
+    # Optional blocked-window assembly tables for large banded meshes
+    # (mesh/banded.py): keeps every assembly gather below the TPU's
+    # ~256K-row table cliff.  Auto-built by from_arrays for big meshes.
+    banded: Optional[object] = None
 
     @property
     def n_nodes(self) -> int:
@@ -91,8 +95,13 @@ class TriMesh:
     def from_arrays(cls, coords, connectivity, geom_boundary_mask=None,
                     dirichlet_mask=None, neumann_mask=None,
                     neumann_edges=None, dtype=jnp.float32,
-                    build_incidence=True) -> "TriMesh":
-        """Normalize host arrays into a device-ready TriMesh."""
+                    build_incidence=True, build_banded="auto") -> "TriMesh":
+        """Normalize host arrays into a device-ready TriMesh.
+
+        build_banded: "auto" builds blocked-window assembly tables when
+        any assembly gather table would exceed the TPU row-rate cliff
+        (large meshes); True forces it; False skips.
+        """
         coords = jnp.asarray(np.asarray(coords), dtype=dtype)
         n = coords.shape[0]
 
@@ -104,6 +113,18 @@ class TriMesh:
         if neumann_edges is None:
             neumann_edges = np.zeros((0, 2), dtype=np.int32)
         conn_np = np.asarray(connectivity)
+        inc_np = (build_incidence_table(conn_np, n)
+                  if build_incidence and conn_np.size else None)
+
+        banded = None
+        want_banded = (build_banded is True or (
+            build_banded == "auto"
+            and conn_np.size
+            and max(n, 3 * conn_np.shape[0]) > 250_000))
+        if want_banded and inc_np is not None:
+            from .banded import build_banded_assembly
+            banded = build_banded_assembly(conn_np, n, inc_np)
+
         return cls(
             coords=coords,
             connectivity=jnp.asarray(conn_np, dtype=jnp.int32),
@@ -112,8 +133,8 @@ class TriMesh:
             neumann_mask=_mask(neumann_mask),
             neumann_edges=jnp.asarray(np.asarray(neumann_edges),
                                       dtype=jnp.int32),
-            incidence=(jnp.asarray(build_incidence_table(conn_np, n))
-                       if build_incidence and conn_np.size else None),
+            incidence=jnp.asarray(inc_np) if inc_np is not None else None,
+            banded=banded,
         )
 
     def astuple(self):

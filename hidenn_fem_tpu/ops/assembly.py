@@ -22,10 +22,12 @@ cross-shard reduction, which the scatter-add AD + psum already provides
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_with_incidence"]
+__all__ = ["gather_with_incidence", "gather_banded"]
 
 
 @jax.custom_vjp
@@ -58,3 +60,55 @@ def _bwd(res, ct):
 
 
 gather_with_incidence.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------------------------ banded
+@jax.custom_vjp
+def gather_banded(node, ba):
+    """Blocked-window gather for large banded meshes.
+
+    Both the forward gather and the reverse assembly run against
+    dynamic-sliced node/cotangent windows small enough to stay below the
+    TPU gather row-rate cliff (see ``mesh.banded``).  Returns
+    [B*EB, 3, F] gathered rows, where B*EB >= Ne (padding slots are
+    degenerate node-0 triples).
+    """
+    return _banded_fwd_gather(node, ba)
+
+
+def _banded_fwd_gather(node, ba):
+    f = node.shape[-1]
+    wnode = ba.wnode
+
+    def body(_, inp):
+        rel, s = inp
+        win = jax.lax.dynamic_slice(node, (s, 0), (wnode, f))
+        return None, win[rel]                      # [EB, 3, F]
+
+    _, out = jax.lax.scan(body, None, (ba.conn_rel, ba.starts))
+    return out.reshape(-1, 3, f)
+
+
+def _banded_fwd(node, ba):
+    return _banded_fwd_gather(node, ba), (ba, node.shape[0])
+
+
+def _banded_bwd(res, ct):
+    ba, n_nodes = res
+    f = ct.shape[-1]
+    ct_flat = ct.reshape(-1, f)                    # [B*EB*3, F]
+    wct = ba.wct
+
+    def body(_, inp):
+        rel, s = inp                               # rel [NB, maxdeg]
+        win = jax.lax.dynamic_slice(ct_flat, (s, 0), (wct, f))
+        win = jnp.concatenate(
+            [win, jnp.zeros((1, f), win.dtype)], axis=0)
+        return None, jnp.sum(win[rel], axis=1)     # [NB, F]
+
+    _, out = jax.lax.scan(body, None, (ba.inc_rel, ba.ct_starts))
+    grad_node = out.reshape(-1, f)[:n_nodes]
+    return grad_node, None
+
+
+gather_banded.defvjp(_banded_fwd, _banded_bwd)

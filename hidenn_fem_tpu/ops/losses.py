@@ -192,16 +192,21 @@ class PlaneStressEnergy:
             E, nu = self.E, self.nu
             f = E / (1.0 - nu ** 2)
             node = self.model.packed_nodes(params, mesh)
-            if mesh.incidence is not None:
+            if mesh.banded is not None:
+                from .assembly import gather_banded
+                # [B*EB, 3, 4]; >= Ne rows, padding slots are degenerate
+                g = gather_banded(node, mesh.banded)
+            elif mesh.incidence is not None:
                 from .assembly import gather_with_incidence
                 g = gather_with_incidence(node, mesh.connectivity,
                                           mesh.incidence)
             else:
                 g = node[mesh.connectivity]
+            n_rows = g.shape[0]
             backend = self._resolve_backend()
             if backend != "xla" and self.model.dim_u == 2:
                 from .pallas_energy import element_energy_pallas
-                gT = g.reshape(n_elem, 12).T          # [12, Ne] lane-major
+                gT = g.reshape(n_rows, 12).T          # [12, Ne] lane-major
                 # host-side static scalar (the staged weight table may be
                 # a tracer inside scanned bodies)
                 w_sum = quad.triangle_weight_sum(self.gauss_order)

@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "interval_gauss_points",
     "interval_gauss_points_m11",
+    "gauss_legendre_points_weights",
     "triangle_gauss_points",
     "TRIANGLE_RULE_DEGREE",
 ]
@@ -57,6 +58,13 @@ def interval_gauss_points_m11(order: int = 1, dtype=jnp.float32):
     """
     x, w = _leggauss(order)
     return jnp.asarray(x, dtype=dtype), jnp.asarray(w, dtype=dtype)
+
+
+# Migration alias: the reference's example3 imports this name, which does
+# not exist in the reference's own utils (quirk E2, ``examples/example3.py:5``
+# vs ``src/utils.py:4``).  The call site's intended semantics are the raw
+# [-1, 1] rule with a caller-side affine map.
+gauss_legendre_points_weights = interval_gauss_points_m11
 
 
 def _triangle_rule_f64(order: int):

@@ -95,6 +95,7 @@ def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
         neumann_mask=repl,
         neumann_edges=elem,
         incidence=None,
+        banded=None,
     )
 
 
@@ -107,7 +108,7 @@ def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     for scalar reductions.
     """
     tri = dataclasses.replace(pad_mesh(tri, dmesh.devices.size),
-                              incidence=None)
+                              incidence=None, banded=None)
     shardings = mesh_shardings(dmesh, axis)
     return jax.tree.map(jax.device_put, tri, shardings)
 
@@ -132,7 +133,7 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
     in_specs = (P(), TriMesh(
         coords=P(), connectivity=P(axis), geom_boundary_mask=P(),
         dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis),
-        incidence=None))
+        incidence=None, banded=None))
 
     def per_device(params, tri):
         dom = energy.domain_energy(params, tri)
@@ -143,8 +144,9 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
                        out_specs=P(), check_vma=False)
 
     def loss_fn(params, tri):
-        # incidence is node-indexed derived data; the scatter-AD + psum
-        # path owns gradient reduction under sharding
-        return fn(params, dataclasses.replace(tri, incidence=None))
+        # incidence/banded are derived single-device assembly tables; the
+        # scatter-AD + psum path owns gradient reduction under sharding
+        return fn(params, dataclasses.replace(tri, incidence=None,
+                                              banded=None))
 
     return loss_fn
