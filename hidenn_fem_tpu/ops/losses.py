@@ -45,7 +45,35 @@ from ..models.triangle_p1 import TriangleP1
 from . import quadrature as quad
 from .elasticity import plane_stress_C, strain_voigt_from_grad, energy_density
 
-__all__ = ["l2_loss", "bar_energy_1d", "PlaneStressEnergy"]
+__all__ = ["l2_loss", "bar_energy_1d", "PlaneStressEnergy",
+           "mesh_quality_penalty"]
+
+
+def mesh_quality_penalty(model, params, mesh) -> jax.Array:
+    """Mean element shape-quality penalty for r-adaptive solves.
+
+    The reference hints at (but never implements) a mesh-quality
+    regularizer for the alternating scheme
+    (``examples/example4.py:107`` commented: ``0.1 * mesh_quality_loss``);
+    its README documents the failure mode it guards: r-adaptivity driving
+    detJ -> 0 and spiking gradients (``README.md:264-268``).
+
+    Uses the classic condition-number-style measure: per triangle,
+    sum of squared edge lengths over (4*sqrt(3)*area) — equal to 1 for an
+    equilateral triangle and diverging as the element degenerates, so it
+    acts as a smooth inversion barrier.
+    """
+    coords = model.coords(params, mesh)
+    v = coords[mesh.connectivity]
+    e0 = v[:, 1] - v[:, 0]
+    e1 = v[:, 2] - v[:, 1]
+    e2 = v[:, 0] - v[:, 2]
+    l2 = (jnp.sum(e0 * e0, axis=1) + jnp.sum(e1 * e1, axis=1)
+          + jnp.sum(e2 * e2, axis=1))
+    det, _ = model.element_fields(params, mesh)
+    area = 0.5 * jnp.abs(det)
+    q = l2 / jnp.clip(4.0 * jnp.sqrt(3.0) * area, min=1e-30)
+    return jnp.mean(q)
 
 
 # --------------------------------------------------------------------- L2
@@ -130,6 +158,10 @@ class PlaneStressEnergy:
     # the compiled kernel, "pallas_interpret" runs it in the Pallas
     # interpreter (CPU-testable), "xla" forces the jnp pipeline.
     backend: str = "auto"
+    # weight of the element shape-quality regularizer (0 disables) — the
+    # guard against r-adaptive element collapse the reference hints at
+    # (examples/example4.py:107)
+    mesh_penalty_weight: float = 0.0
 
     def __post_init__(self):
         if self.assembly not in ("fused", "quadrature"):
@@ -316,8 +348,13 @@ class PlaneStressEnergy:
 
     # -------------------------------------------------------------- total
     def total(self, params, mesh: TriMesh) -> jax.Array:
-        """Total potential = domain - edge (``src/loss.py:113-116``)."""
-        return self.domain_energy(params, mesh) - self.edge_energy(params,
-                                                                   mesh)
+        """Total potential = domain - edge (``src/loss.py:113-116``),
+        plus the optional mesh-quality regularization."""
+        e = self.domain_energy(params, mesh) - self.edge_energy(params,
+                                                                mesh)
+        if self.mesh_penalty_weight:
+            e = e + self.mesh_penalty_weight * mesh_quality_penalty(
+                self.model, params, mesh)
+        return e
 
     __call__ = total

@@ -71,14 +71,56 @@ def run_optimizer(loss_fn: Callable, params, optimizer, num_steps: int
 
 
 def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
-              memory_size: int = 100, max_linesearch_steps: int = 20
+              memory_size: int = 100, max_linesearch_steps: int = 20,
+              tol: Optional[float] = None
               ) -> Tuple[dict, jax.Array]:
     """Run LBFGS iterations (one iteration ~ one torch inner step; the
     reference's 30 outer epochs x max_iter=20 correspond to
-    ``num_steps=600``)."""
+    ``num_steps=600``).
+
+    ``tol``: optional convergence tolerance — stop early once the gradient
+    infinity-norm drops below it (torch LBFGS's ``tolerance_grad``
+    semantics, default 1e-7 there).  Runs as a bounded ``while_loop``; the
+    loss history is padded with the final value after convergence.
+    """
     optimizer = _opt.lbfgs(memory_size=memory_size,
                            max_linesearch_steps=max_linesearch_steps)
-    return _run_lbfgs(loss_fn, optimizer, num_steps, params)
+    if tol is None:
+        return _run_lbfgs(loss_fn, optimizer, num_steps, params)
+    return _run_lbfgs_tol(loss_fn, optimizer, num_steps, float(tol), params)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
+                                             "num_steps", "tol"))
+def _run_lbfgs_tol(loss_fn, optimizer, num_steps, tol, params):
+    opt_state = optimizer.init(params)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        params, opt_state, converged, last = carry
+
+        def do_step(args):
+            params, opt_state = args
+            value, grad = value_and_grad(params, state=opt_state)
+            updates, opt_state = optimizer.update(
+                grad, opt_state, params, value=value, grad=grad,
+                value_fn=loss_fn)
+            params = optax.apply_updates(params, updates)
+            gmax = jnp.max(jnp.asarray(
+                [jnp.max(jnp.abs(g)) for g in jax.tree.leaves(grad)]))
+            return params, opt_state, gmax < tol, value
+
+        params, opt_state, converged, last = jax.lax.cond(
+            converged,
+            lambda args: (args[0], args[1], jnp.bool_(True), last),
+            do_step,
+            (params, opt_state))
+        return (params, opt_state, converged, last), last
+
+    init = (params, opt_state, jnp.bool_(False),
+            jnp.asarray(jnp.inf, jnp.float32))
+    (params, _, _, _), losses = jax.lax.scan(step, init, length=num_steps)
+    return params, losses
 
 
 def minimize(loss_fn: Callable, params, method: str = "adam",
@@ -146,6 +188,75 @@ def alternating_solve(loss_fn: Callable, params, outer_epochs: int = 500,
         return params, losses
 
     return run(params)
+
+
+def solve_with_checkpointing(loss_fn: Callable, params, optimizer,
+                             num_steps: int, checkpoint_dir: str,
+                             checkpoint_every: int = 1000,
+                             metrics_path: Optional[str] = None,
+                             resume: bool = True,
+                             n_quad_points: Optional[int] = None
+                             ) -> Tuple[dict, list]:
+    """Long-run driver: chunked scan-compiled optimization with periodic
+    checkpoints + JSONL metrics, resumable after a crash.
+
+    The reference has no checkpoint/resume at all (SURVEY.md §5); long
+    multi-chip r-adaptivity runs get deterministic resume here.  Between
+    scan chunks the host writes ``ckpt_<step>.msgpack`` (params +
+    optimizer state) and a metrics line (loss, per-group grad norms,
+    wall/step, qp-evals/sec).
+    """
+    import time as _time
+
+    from ..utils import checkpoint as _ckpt
+    from ..utils import metrics as _metrics
+
+    opt_state = optimizer.init(params)
+    start_step = 0
+    if resume:
+        latest = _ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            params, opt_state, start_step, _ = _ckpt.restore_checkpoint(
+                latest, params, opt_state)
+
+    @functools.partial(jax.jit, static_argnames=("chunk",))
+    def run_chunk(params, opt_state, chunk):
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), length=chunk)
+        return params, opt_state, losses
+
+    import os
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = (_metrics.MetricsWriter(metrics_path) if metrics_path
+              else None)
+    all_losses = []
+    step_i = start_step
+    try:
+        while step_i < num_steps:
+            chunk = min(checkpoint_every, num_steps - step_i)
+            t0 = _time.perf_counter()
+            params, opt_state, losses = run_chunk(params, opt_state, chunk)
+            last = float(losses[-1])        # sync
+            wall = (_time.perf_counter() - t0) / chunk
+            step_i += chunk
+            all_losses.append(losses)
+            _ckpt.save_checkpoint(
+                f"{checkpoint_dir}/ckpt_{step_i}.msgpack", params,
+                opt_state, step=step_i)
+            if writer:
+                writer.write(_metrics.solve_metrics(
+                    step_i, last, wall_per_step=wall,
+                    n_quad_points=n_quad_points))
+    finally:
+        if writer:
+            writer.close()
+    return params, all_losses
 
 
 def two_phase_solve(loss_fn: Callable, params, adam_steps: int = 1000,
