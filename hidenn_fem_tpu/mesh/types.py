@@ -28,6 +28,9 @@ def build_incidence_table(connectivity: np.ndarray, n_nodes: int
     element cotangents instead of scatter-adding them (the TPU scatter is
     the single slowest op in the energy backward).
     """
+    from . import native
+    if native.available():
+        return native.build_incidence_table(connectivity, n_nodes)
     flat = np.asarray(connectivity, dtype=np.int64).reshape(-1)
     order = np.argsort(flat, kind="stable")
     sorted_nodes = flat[order]
