@@ -175,6 +175,8 @@ class PlaneStressEnergy:
     def _resolve_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
+        if self.model.dtype != jnp.float32:
+            return "xla"  # the Pallas kernel is f32; f64 runs pure XLA
         return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     # ------------------------------------------------------------- tables

@@ -1,2 +1,3 @@
 from .sharding import (device_mesh, pad_mesh, shard_mesh, replicate,
                        shard_map_energy, mesh_shardings, ELEM_AXIS)
+from .multihost import initialize_multihost, is_multihost, process_summary
