@@ -164,9 +164,10 @@ class TriangleP1:
         coords = self.coords(params, mesh)
         u = self.u_full(params, mesh)
 
+        from ..ops.assembly import flat_gather
         conn = mesh.connectivity[elem_id]           # [M, 3]
-        v = coords[conn]                            # [M, 3, 2]
-        u_nodes = u[conn]                           # [M, 3, dim_u]
+        v = flat_gather(coords, conn)               # [M, 3, 2]
+        u_nodes = flat_gather(u, conn)              # [M, 3, dim_u]
 
         xi = x_ref[:, 0]
         eta = x_ref[:, 1]
@@ -199,9 +200,10 @@ class TriangleP1:
         """
         coords = self.coords(params, mesh)
         u = self.u_full(params, mesh)
+        from ..ops.assembly import flat_gather
         conn = mesh.connectivity                    # [Ne, 3]
-        v = coords[conn]
-        u_nodes = u[conn]
+        v = flat_gather(coords, conn)
+        u_nodes = flat_gather(u, conn)
         det, jinv = self._jacobian(v[:, 0], v[:, 1], v[:, 2])
         (dN0x, dN1x, dN2x), (dN0y, dN1y, dN2y) = self._dN_dx(jinv)
         gx = (u_nodes[:, 0] * dN0x[:, None] + u_nodes[:, 1] * dN1x[:, None]
@@ -230,8 +232,9 @@ class TriangleP1:
         xi = jnp.asarray(xi, self.dtype).reshape(-1)
         coords = self.coords(params, mesh)
         u = self.u_full(params, mesh)
+        from ..ops.assembly import flat_gather
         edges = mesh.neumann_edges[edge_id]         # [M, 2]
-        u_nodes = u[edges]                          # [M, 2, dim_u]
+        u_nodes = flat_gather(u, edges)             # [M, 2, dim_u]
         u_h = (1.0 - xi)[:, None] * u_nodes[:, 0] + xi[:, None] * u_nodes[:, 1]
         p0 = coords[edges[:, 0]]
         p1 = coords[edges[:, 1]]

@@ -27,7 +27,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_with_incidence", "gather_banded"]
+__all__ = ["flat_gather", "gather_with_incidence", "gather_banded"]
+
+
+def flat_gather(table, idx):
+    """table[idx] with the index array flattened first.
+
+    XLA lowers row gathers with multi-dimensional index arrays to a ~2.5x
+    slower TPU gather than the equivalent flat-index gather (measured on
+    v5e at ~1M rows: 21.8ms vs 8.7ms for [EB,3]-shaped vs [EB*3]-shaped
+    indices into the same table).  Shape is restored after the gather.
+    """
+    idx = jnp.asarray(idx)
+    out = table[idx.reshape(-1)]
+    return out.reshape(*idx.shape, table.shape[-1])
 
 
 @jax.custom_vjp
@@ -42,11 +55,11 @@ def gather_with_incidence(node, conn, incidence):
     Returns:
       [Ne, V, F] gathered rows.
     """
-    return node[conn]
+    return flat_gather(node, conn)
 
 
 def _fwd(node, conn, incidence):
-    return node[conn], (conn, incidence, node.shape)
+    return flat_gather(node, conn), (conn, incidence, node.shape)
 
 
 def _bwd(res, ct):
@@ -55,7 +68,7 @@ def _bwd(res, ct):
     ct_flat = ct.reshape(-1, f)
     ct_flat = jnp.concatenate(
         [ct_flat, jnp.zeros((1, f), ct_flat.dtype)], axis=0)
-    grad_node = jnp.sum(ct_flat[incidence], axis=1)
+    grad_node = jnp.sum(flat_gather(ct_flat, incidence), axis=1)
     return grad_node, None, None
 
 
@@ -83,7 +96,7 @@ def _banded_fwd_gather(node, ba):
     def body(_, inp):
         rel, s = inp
         win = jax.lax.dynamic_slice(node, (s, 0), (wnode, f))
-        return None, win[rel]                      # [EB, 3, F]
+        return None, flat_gather(win, rel)         # [EB, 3, F]
 
     _, out = jax.lax.scan(body, None, (ba.conn_rel, ba.starts))
     return out.reshape(-1, 3, f)
@@ -104,7 +117,7 @@ def _banded_bwd(res, ct):
         win = jax.lax.dynamic_slice(ct_flat, (s, 0), (wct, f))
         win = jnp.concatenate(
             [win, jnp.zeros((1, f), win.dtype)], axis=0)
-        return None, jnp.sum(win[rel], axis=1)     # [NB, F]
+        return None, jnp.sum(flat_gather(win, rel), axis=1)  # [NB, F]
 
     _, out = jax.lax.scan(body, None, (ba.inc_rel, ba.ct_starts))
     grad_node = out.reshape(-1, f)[:n_nodes]

@@ -63,8 +63,9 @@ def mesh_quality_penalty(model, params, mesh) -> jax.Array:
     equilateral triangle and diverging as the element degenerates, so it
     acts as a smooth inversion barrier.
     """
+    from .assembly import flat_gather
     coords = model.coords(params, mesh)
-    v = coords[mesh.connectivity]
+    v = flat_gather(coords, mesh.connectivity)
     e0 = v[:, 1] - v[:, 0]
     e1 = v[:, 2] - v[:, 1]
     e2 = v[:, 0] - v[:, 2]
