@@ -52,9 +52,9 @@ def main(cfg: PlateConfig = PlateConfig(), outdir="out"):
         gauss_order=cfg.gauss_order, gauss_order_1d=cfg.gauss_order_1d,
         F_total=cfg.traction_total, traction_length=cfg.traction_length)
 
-    loss_fn = lambda p: energy(p, mesh)
-    params, losses = ht.run_lbfgs(loss_fn, params,
-                                  num_steps=cfg.lbfgs_steps)
+    params, losses = ht.run_lbfgs(energy.total, params,
+                                  num_steps=cfg.lbfgs_steps,
+                                  loss_args=(mesh,))
     losses = np.asarray(losses)
     for i in range(0, cfg.lbfgs_steps, 100):
         print(f"Iter {i:04d}: Loss = {losses[i]:.6e}")

@@ -62,8 +62,9 @@ def main(nx=1000, ny=500, lbfgs_steps=200):
 
     # a short LBFGS solve (full solves just scale num_steps)
     t0 = time.time()
-    params, losses = ht.run_lbfgs(lambda p: energy(p, mesh_run), params,
-                                  num_steps=lbfgs_steps)
+    params, losses = ht.run_lbfgs(energy.total, params,
+                                  num_steps=lbfgs_steps,
+                                  loss_args=(mesh_run,))
     losses = np.asarray(losses)
     print(f"LBFGS {lbfgs_steps} iters: {time.time()-t0:.1f}s wall, "
           f"energy {losses[0]:.4e} -> {losses[-1]:.4e}")

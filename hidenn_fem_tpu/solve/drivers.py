@@ -28,12 +28,14 @@ __all__ = ["minimize", "run_optimizer", "run_lbfgs"]
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
                                              "num_steps"))
-def _run_first_order(loss_fn, optimizer, num_steps, params):
+def _run_first_order(loss_fn, optimizer, num_steps, params, loss_args):
+    # loss_args are jit operands: large arrays (meshes) ride as runtime
+    # parameters instead of being baked into the executable as constants
     opt_state = optimizer.init(params)
 
     def step(carry, _):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, *loss_args)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
@@ -45,16 +47,17 @@ def _run_first_order(loss_fn, optimizer, num_steps, params):
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
                                              "num_steps"))
-def _run_lbfgs(loss_fn, optimizer, num_steps, params):
+def _run_lbfgs(loss_fn, optimizer, num_steps, params, loss_args):
+    fn = lambda p: loss_fn(p, *loss_args)
     opt_state = optimizer.init(params)
-    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+    value_and_grad = optax.value_and_grad_from_state(fn)
 
     def step(carry, _):
         params, opt_state = carry
         value, grad = value_and_grad(params, state=opt_state)
         updates, opt_state = optimizer.update(
             grad, opt_state, params, value=value, grad=grad,
-            value_fn=loss_fn)
+            value_fn=fn)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), value
 
@@ -63,16 +66,23 @@ def _run_lbfgs(loss_fn, optimizer, num_steps, params):
     return params, losses
 
 
-def run_optimizer(loss_fn: Callable, params, optimizer, num_steps: int
+def run_optimizer(loss_fn: Callable, params, optimizer, num_steps: int,
+                  loss_args: tuple = ()
                   ) -> Tuple[dict, jax.Array]:
     """Run a first-order optimizer for ``num_steps``; returns
-    (final_params, per-step loss history [num_steps])."""
-    return _run_first_order(loss_fn, optimizer, num_steps, params)
+    (final_params, per-step loss history [num_steps]).
+
+    Pass large data (meshes, training sets) via ``loss_args`` —
+    ``loss_fn(params, *loss_args)`` — rather than closing over it, so it
+    enters the compiled program as an operand, not an embedded constant.
+    """
+    return _run_first_order(loss_fn, optimizer, num_steps, params,
+                            tuple(loss_args))
 
 
 def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
               memory_size: int = 100, max_linesearch_steps: int = 20,
-              tol: Optional[float] = None
+              tol: Optional[float] = None, loss_args: tuple = ()
               ) -> Tuple[dict, jax.Array]:
     """Run LBFGS iterations (one iteration ~ one torch inner step; the
     reference's 30 outer epochs x max_iter=20 correspond to
@@ -86,13 +96,17 @@ def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
     optimizer = _opt.lbfgs(memory_size=memory_size,
                            max_linesearch_steps=max_linesearch_steps)
     if tol is None:
-        return _run_lbfgs(loss_fn, optimizer, num_steps, params)
-    return _run_lbfgs_tol(loss_fn, optimizer, num_steps, float(tol), params)
+        return _run_lbfgs(loss_fn, optimizer, num_steps, params,
+                          tuple(loss_args))
+    return _run_lbfgs_tol(loss_fn, optimizer, num_steps, float(tol),
+                          params, tuple(loss_args))
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
                                              "num_steps", "tol"))
-def _run_lbfgs_tol(loss_fn, optimizer, num_steps, tol, params):
+def _run_lbfgs_tol(loss_fn, optimizer, num_steps, tol, params, loss_args):
+    fn = lambda p: loss_fn(p, *loss_args)
+    loss_fn = fn
     opt_state = optimizer.init(params)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
@@ -125,19 +139,22 @@ def _run_lbfgs_tol(loss_fn, optimizer, num_steps, tol, params):
 
 def minimize(loss_fn: Callable, params, method: str = "adam",
              num_steps: int = 1000, learning_rate: float = 1e-3,
-             group_lrs: Optional[dict] = None, **kwargs
-             ) -> Tuple[dict, jax.Array]:
+             group_lrs: Optional[dict] = None, loss_args: tuple = (),
+             **kwargs) -> Tuple[dict, jax.Array]:
     """One-call solve facade.
 
     method: "adam" (optionally with ``group_lrs`` for the two-group scheme,
     ``examples/example4.py:54-57``) or "lbfgs" (``examples/example4.py:68``).
+    Large data (meshes) should go in ``loss_args``
+    (``loss_fn(params, *loss_args)``) instead of being closed over.
     """
     if method == "adam":
         opt = (_opt.adam_per_group(group_lrs) if group_lrs
                else _opt.adam(learning_rate))
-        return run_optimizer(loss_fn, params, opt, num_steps)
+        return run_optimizer(loss_fn, params, opt, num_steps, loss_args)
     if method == "lbfgs":
-        return run_lbfgs(loss_fn, params, num_steps, **kwargs)
+        return run_lbfgs(loss_fn, params, num_steps, loss_args=loss_args,
+                         **kwargs)
     raise ValueError(f"unknown method {method!r}")
 
 
