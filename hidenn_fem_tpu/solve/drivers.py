@@ -105,8 +105,8 @@ def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
                                              "num_steps", "tol"))
 def _run_lbfgs_tol(loss_fn, optimizer, num_steps, tol, params, loss_args):
-    fn = lambda p: loss_fn(p, *loss_args)
-    loss_fn = fn
+    base_fn = loss_fn
+    loss_fn = lambda p: base_fn(p, *loss_args)
     opt_state = optimizer.init(params)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
