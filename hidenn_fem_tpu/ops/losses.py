@@ -169,8 +169,8 @@ class PlaneStressEnergy:
             raise ValueError(f"unknown assembly mode {self.assembly!r}")
         if self.compat not in ("exact", "reference"):
             raise ValueError(f"unknown compat mode {self.compat!r}")
-        if self.backend not in ("auto", "pallas", "pallas_interpret",
-                                "xla"):
+        if self.backend not in ("auto", "pallas", "pallas_blockfused",
+                                "pallas_interpret", "xla"):
             raise ValueError(f"unknown backend {self.backend!r}")
 
     def _resolve_backend(self) -> str:
@@ -227,6 +227,23 @@ class PlaneStressEnergy:
             E, nu = self.E, self.nu
             f = E / (1.0 - nu ** 2)
             node = self.model.packed_nodes(params, mesh)
+            backend0 = self._resolve_backend()
+            if (mesh.banded is not None
+                    and backend0 in ("pallas_blockfused",
+                                     "pallas_interpret")
+                    and self.model.dim_u == 2 and self.body_force is None):
+                # alternative big-mesh path: block-fused banded energy
+                # (gathers consumed in-block by the Pallas kernels; see
+                # ops/banded_energy.py).  Its forward is ~1.6x faster than
+                # the default, but the backward's per-block transposes
+                # made it net-slower at 922K elements (49.5 vs 35.7 ms
+                # fwd+bwd, measured) — kept opt-in pending a faster
+                # backward.
+                from .banded_energy import banded_element_energy
+                return banded_element_energy(
+                    node, mesh.banded, float(E), float(nu),
+                    quad.triangle_weight_sum(self.gauss_order),
+                    backend0 == "pallas_interpret")
             if mesh.banded is not None:
                 from .assembly import gather_banded
                 # [B*EB, 3, 4]; >= Ne rows, padding slots are degenerate
