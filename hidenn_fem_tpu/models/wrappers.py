@@ -17,7 +17,7 @@ shadows the first — quirk E1).  Here they are distinct:
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ cross-shard reduction, which the scatter-add AD + psum already provides
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -22,6 +22,8 @@ __all__ = [
     "von_mises_per_element",
     "displacement_magnitude",
     "derivative_1d_per_element",
+    "locate_points",
+    "evaluate_at_points",
 ]
 
 
@@ -49,6 +51,63 @@ def displacement_magnitude(model: TriangleP1, params, mesh: TriMesh):
     u_mag = jnp.sqrt(jnp.sum(u * u, axis=1))
     tri_mean = jnp.mean(u_mag[mesh.connectivity], axis=1)
     return u_mag, tri_mean
+
+
+def locate_points(coords, connectivity, points):
+    """Host-side point location: physical points -> (elem_id, ref coords).
+
+    Neither the reference nor its examples can evaluate the triangular
+    model at physical coordinates — its forward takes (reference coords,
+    element id) pairs (``src/models.py:316``).  This fills that gap:
+    given current node coordinates and query points, find the containing
+    triangle (matplotlib's trapezoid-map finder, O(log Ne) per query) and
+    the barycentric reference coordinates (xi, eta) matching the model's
+    shape-function convention (vertex0 -> xi, vertex1 -> eta).
+
+    Points outside the mesh get elem_id -1 (evaluate_at_points returns
+    NaN there).  Pure host preprocessing — keep outside jit.
+    """
+    import numpy as np
+    from matplotlib.tri import Triangulation
+
+    coords = np.asarray(coords, dtype=np.float64)
+    conn = np.asarray(connectivity)
+    pts = np.asarray(points, dtype=np.float64)
+    tri = Triangulation(coords[:, 0], coords[:, 1], conn)
+    finder = tri.get_trifinder()
+    elem_id = np.asarray(finder(pts[:, 0], pts[:, 1]), dtype=np.int64)
+
+    # barycentric coords w.r.t. (v0, v1, v2): x = v2 + J [xi, eta]^T
+    safe = np.maximum(elem_id, 0)
+    v = coords[conn[safe]]                     # [M, 3, 2]
+    d = pts - v[:, 2]
+    ax = v[:, 0, 0] - v[:, 2, 0]
+    ay = v[:, 0, 1] - v[:, 2, 1]
+    bx = v[:, 1, 0] - v[:, 2, 0]
+    by = v[:, 1, 1] - v[:, 2, 1]
+    det = ax * by - bx * ay
+    det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+    xi = (by * d[:, 0] - bx * d[:, 1]) / det
+    eta = (-ay * d[:, 0] + ax * d[:, 1]) / det
+    ref = np.stack([xi, eta], axis=1)
+    return elem_id, ref
+
+
+def evaluate_at_points(model: TriangleP1, params, mesh: TriMesh, points):
+    """Field values u_h at arbitrary physical points [M, 2] -> [M, dim_u]
+    (NaN outside the mesh).  Location runs on host; evaluation is the
+    model's batched reference-coordinate forward."""
+    import numpy as np
+
+    coords = model.coords(params, mesh)
+    elem_id, ref = locate_points(np.asarray(coords),
+                                 np.asarray(mesh.connectivity), points)
+    inside = elem_id >= 0
+    u = model.interpolate(params, mesh,
+                          jnp.asarray(ref, model.dtype),
+                          jnp.asarray(np.maximum(elem_id, 0)))
+    u = jnp.where(jnp.asarray(inside)[:, None], u, jnp.nan)
+    return u
 
 
 def derivative_1d_per_element(model, params) -> jax.Array:
