@@ -70,13 +70,6 @@ class BandedAssembly:
         return self.conn_rel.shape[1]
 
 
-def _block_windows(values_min, values_max, total_rows, limit):
-    """Greedy check: given per-block [min, max] node rows, the largest
-    window size (clamped to valid starts)."""
-    sizes = values_max - values_min + 1
-    return int(sizes.max()) if sizes.size else 0
-
-
 def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
                           incidence: np.ndarray,
                           window_limit: int = WINDOW_LIMIT
