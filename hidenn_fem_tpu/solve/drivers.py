@@ -82,24 +82,68 @@ def run_optimizer(loss_fn: Callable, params, optimizer, num_steps: int,
 
 def run_lbfgs(loss_fn: Callable, params, num_steps: int = 600,
               memory_size: int = 100, max_linesearch_steps: int = 20,
-              tol: Optional[float] = None, loss_args: tuple = ()
+              tol: Optional[float] = None, loss_args: tuple = (),
+              linesearch: str = "none"
               ) -> Tuple[dict, jax.Array]:
     """Run LBFGS iterations (one iteration ~ one torch inner step; the
     reference's 30 outer epochs x max_iter=20 correspond to
     ``num_steps=600``).
 
+    ``linesearch="none"`` (default) is torch's LBFGS default — fixed step
+    lr=1, the configuration the measured baseline used; ~6x faster on TPU
+    than ``"zoom"`` (strong-Wolfe), which is available for problems that
+    need globalization.
+
     ``tol``: optional convergence tolerance — stop early once the gradient
     infinity-norm drops below it (torch LBFGS's ``tolerance_grad``
-    semantics, default 1e-7 there).  Runs as a bounded ``while_loop``; the
-    loss history is padded with the final value after convergence.
+    semantics, default 1e-7 there).  The loss history is padded with the
+    final value after convergence.
     """
     optimizer = _opt.lbfgs(memory_size=memory_size,
-                           max_linesearch_steps=max_linesearch_steps)
+                           max_linesearch_steps=max_linesearch_steps,
+                           linesearch=linesearch)
+    if linesearch == "none":
+        if tol is None:
+            return _run_first_order(loss_fn, optimizer, num_steps, params,
+                                    tuple(loss_args))
+        return _run_first_order_tol(loss_fn, optimizer, num_steps,
+                                    float(tol), params, tuple(loss_args))
     if tol is None:
         return _run_lbfgs(loss_fn, optimizer, num_steps, params,
                           tuple(loss_args))
     return _run_lbfgs_tol(loss_fn, optimizer, num_steps, float(tol),
                           params, tuple(loss_args))
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
+                                             "num_steps", "tol"))
+def _run_first_order_tol(loss_fn, optimizer, num_steps, tol, params,
+                         loss_args):
+    opt_state = optimizer.init(params)
+
+    def step(carry, _):
+        params, opt_state, converged, last = carry
+
+        def do_step(args):
+            params, opt_state = args
+            value, grad = jax.value_and_grad(loss_fn)(params, *loss_args)
+            updates, opt_state = optimizer.update(grad, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gmax = jnp.max(jnp.asarray(
+                [jnp.max(jnp.abs(g)) for g in jax.tree.leaves(grad)]))
+            return params, opt_state, gmax < tol, value
+
+        params, opt_state, converged, last = jax.lax.cond(
+            converged,
+            lambda args: (args[0], args[1], jnp.bool_(True), last),
+            do_step,
+            (params, opt_state))
+        return (params, opt_state, converged, last), last
+
+    init = (params, opt_state, jnp.bool_(False),
+            jnp.asarray(jnp.inf, jnp.float32))
+    (params, _, _, _), losses = jax.lax.scan(step, init, length=num_steps)
+    return params, losses
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",

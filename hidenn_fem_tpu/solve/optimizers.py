@@ -41,22 +41,33 @@ def adam_per_group(group_lrs: Dict[str, float]) -> optax.GradientTransformation:
         {k: optax.adam(lr) for k, lr in group_lrs.items()}, label_fn)
 
 
-def lbfgs(memory_size: int = 100, max_linesearch_steps: int = 20
+def lbfgs(memory_size: int = 100, max_linesearch_steps: int = 20,
+          linesearch: str = "none", learning_rate: float = 1.0
           ) -> optax.GradientTransformation:
-    """LBFGS with zoom (strong-Wolfe) line search.
+    """LBFGS, matching the reference's flagship solve.
 
-    The reference's flagship plate solve depends on LBFGS numerics (Adam
+    The reference's plate solve depends on LBFGS numerics (Adam
     demonstrably fails to capture the stress concentration, reference
-    ``README.md:264-268``).  torch's LBFGS uses lr=1 with optional
-    strong-Wolfe search; optax's zoom line search is the equivalent
-    globalization.  ``memory_size`` default matches torch's
+    ``README.md:264-268``).  torch's LBFGS default — the configuration
+    the baseline was measured with — uses a FIXED step lr=1 and NO line
+    search (``examples/example4.py:68``); ``linesearch="none"`` mirrors
+    that and is the default here.  It converges to the same plateau and
+    runs ~6x faster on TPU than the zoom search, whose scalar-heavy
+    while_loop costs ~20 ms/iteration of kernel overheads (measured).
+    ``linesearch="zoom"`` selects the strong-Wolfe globalization for
+    problems that need it.  ``memory_size`` default matches torch's
     ``history_size=100``.
     """
-    return optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps),
-    )
+    if linesearch == "zoom":
+        return optax.lbfgs(
+            memory_size=memory_size,
+            linesearch=optax.scale_by_zoom_linesearch(
+                max_linesearch_steps=max_linesearch_steps),
+        )
+    if linesearch == "none":
+        return optax.lbfgs(learning_rate=learning_rate,
+                           memory_size=memory_size, linesearch=None)
+    raise ValueError(f"unknown linesearch {linesearch!r}")
 
 
 def freeze_groups(inner: optax.GradientTransformation, frozen_keys
