@@ -1,0 +1,275 @@
+"""Gather-free P1 elasticity on structured grids (the TPU speed king).
+
+The general ``TriangleP1`` path is gather-bound: TPU gathers move ~1 row
+per cycle, so at ~1M elements the two assembly gathers cost ~20 ms/step no
+matter how fused the math is.  On a *structured* grid none of that is
+necessary: every element's nodes are fixed index offsets of a [nx, ny]
+node lattice, so per-element nodal data are **array slices** — and the
+backward of a slice is a pad, both running at HBM bandwidth on the VPU.
+
+``StructuredGridP1`` keeps full r-adaptivity (nodal coordinates are
+parameters like the unstructured model) and supports holes by masking
+whole quads (weight-0 quads contribute nothing to energy or gradients).
+``to_trimesh`` emits the exactly-equivalent unstructured ``TriMesh`` (same
+triangles, same DOFs), so all post-processing/plot tooling — and the
+equality tests — reuse the general path.
+
+Triangulation is the "up" variant: quad (i, j) splits into
+T1 = (n00, n10, n11) and T2 = (n00, n11, n01) along the n00-n11 diagonal
+(counter-clockwise, detJ > 0 on an undistorted lattice).
+
+Boundary conditions follow the plate convention of the reference's
+example 4: Dirichlet nodes pinned to ``u_fixed``, geometric-boundary node
+coordinates frozen, uniform +x traction on masked right-edge segments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["StructuredGrid", "StructuredGridP1", "generate_structured_grid"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StructuredGrid:
+    """Static lattice data (pytree of [nx, ny]-shaped arrays).
+
+    Attributes:
+      coords: [nx, ny, 2] initial node coordinates.
+      geom_boundary_mask / dirichlet_mask: [nx, ny] bool node masks.
+      quad_mask: [nx-1, ny-1] float 1/0 — active quads (0 = punched).
+      neumann_edge_mask: [ny-1] float 1/0 — active right-edge segments
+        (between nodes (nx-1, j) and (nx-1, j+1)) carrying the traction.
+    """
+
+    coords: jax.Array
+    geom_boundary_mask: jax.Array
+    dirichlet_mask: jax.Array
+    quad_mask: jax.Array
+    neumann_edge_mask: jax.Array
+
+    @property
+    def nx(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def ny(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def n_elements(self) -> int:
+        """Active triangle count (2 per active quad)."""
+        return 2 * int(np.asarray(self.quad_mask).sum())
+
+
+def generate_structured_grid(
+    length: float = 2.0,
+    height: float = 1.0,
+    holes: Sequence[Tuple[float, float, float]] = (),
+    boundaries: Optional[Dict[str, int]] = None,
+    nx: int = 100,
+    ny: int = 50,
+) -> StructuredGrid:
+    """Structured-lattice analog of ``mesh.generate_mesh``.
+
+    Holes are punched by deactivating every quad with at least one corner
+    inside a hole (the lattice keeps its full shape; punched quads carry
+    weight 0).  Only the reference plate's BC pattern is expressed:
+    Dirichlet from ``boundaries`` faces marked 1, traction on right-face
+    segments when ``boundaries['right'] == 2``.
+    """
+    if boundaries is None:
+        boundaries = {"up": 0, "down": 0, "right": 2, "left": 1}
+    xs = np.linspace(0.0, length, nx)
+    ys = np.linspace(0.0, height, ny)
+    xv, yv = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([xv, yv], axis=-1)
+
+    inside = np.zeros((nx, ny), bool)
+    for cx, cy, r in holes:
+        inside |= ((xv - cx) ** 2 + (yv - cy) ** 2) <= r * r
+    corner_bad = (inside[:-1, :-1] | inside[1:, :-1]
+                  | inside[1:, 1:] | inside[:-1, 1:])
+    quad_mask = (~corner_bad).astype(np.float32)
+
+    tol = 1e-6
+    face = {
+        "left": np.abs(xv - 0.0) < tol,
+        "right": np.abs(xv - length) < tol,
+        "down": np.abs(yv - 0.0) < tol,
+        "up": np.abs(yv - height) < tol,
+    }
+    geom = face["left"] | face["right"] | face["down"] | face["up"]
+    # nodes of punched quads neighbouring active ones are geometric
+    # boundary (their coordinates must stay frozen under r-adaptivity)
+    act = quad_mask > 0
+    touched = np.zeros((nx, ny), bool)
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        touched[di:nx - 1 + di, dj:ny - 1 + dj] |= act
+    geom |= inside | (touched & _dilate_inactive(act, nx, ny))
+
+    bc = np.zeros((nx, ny), bool)
+    mn_edges = np.zeros(ny - 1, np.float32)
+    for f, condition in boundaries.items():
+        if condition == 1:
+            bc |= face[f]
+        elif condition == 2 and f == "right":
+            mn_edges[:] = 1.0
+        elif condition == 2:
+            raise NotImplementedError(
+                "structured fast path supports traction on the right face "
+                "only; use the general TriangleP1 path otherwise")
+
+    return StructuredGrid(
+        coords=jnp.asarray(coords, jnp.float32),
+        geom_boundary_mask=jnp.asarray(geom),
+        dirichlet_mask=jnp.asarray(bc),
+        quad_mask=jnp.asarray(quad_mask),
+        neumann_edge_mask=jnp.asarray(mn_edges),
+    )
+
+
+def _dilate_inactive(act: np.ndarray, nx: int, ny: int) -> np.ndarray:
+    """Nodes adjacent to at least one INACTIVE quad (hole rims)."""
+    inact = ~act
+    out = np.zeros((nx, ny), bool)
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        out[di:nx - 1 + di, dj:ny - 1 + dj] |= inact
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredGridP1:
+    """Gather-free structured plate model + plane-stress energy.
+
+    Same parameter semantics as ``TriangleP1`` (full-size masked params):
+    ``params = {"coords": [nx, ny, 2], "u": [nx, ny, 2]}``.
+    """
+
+    E: float = 10e9
+    nu: float = 0.3
+    F_total: float = 100e3
+    traction_length: float = 1.0
+    u_fixed: float = 0.0
+    init_scale: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    # ---------------------------------------------------------------- init
+    def init(self, key, grid: StructuredGrid) -> dict:
+        u0 = self.init_scale * jax.random.normal(
+            key, (grid.nx, grid.ny, 2), dtype=self.dtype)
+        return {"coords": jnp.asarray(grid.coords, self.dtype), "u": u0}
+
+    # ------------------------------------------------------------- getters
+    def coords(self, params, grid: StructuredGrid) -> jax.Array:
+        pin = grid.geom_boundary_mask[..., None]
+        return jnp.where(pin, jnp.asarray(grid.coords, self.dtype),
+                         params["coords"])
+
+    def u_full(self, params, grid: StructuredGrid) -> jax.Array:
+        return jnp.where(grid.dirichlet_mask[..., None],
+                         jnp.asarray(self.u_fixed, self.dtype),
+                         params["u"])
+
+    # -------------------------------------------------------------- energy
+    def _tri_energy(self, v0, v1, v2):
+        """Energy contribution of one triangle family, all inputs
+        [nx-1, ny-1, 4] corner slices (cx, cy, ux, uy)."""
+        f = self.E / (1.0 - self.nu ** 2)
+        nu = self.nu
+        ax = v0[..., 0] - v2[..., 0]
+        ay = v0[..., 1] - v2[..., 1]
+        bx = v1[..., 0] - v2[..., 0]
+        by = v1[..., 1] - v2[..., 1]
+        d0x = v0[..., 2] - v2[..., 2]
+        d0y = v0[..., 3] - v2[..., 3]
+        d1x = v1[..., 2] - v2[..., 2]
+        d1y = v1[..., 3] - v2[..., 3]
+        det = ax * by - bx * ay
+        safe = jnp.where(jnp.abs(det) < 1e-12,
+                         jnp.where(det < 0, -1e-12, 1e-12), det)
+        inv = 1.0 / safe
+        exx = (by * d0x - ay * d1x) * inv
+        eyy = (-bx * d0y + ax * d1y) * inv
+        gxy = ((by * d0y - ay * d1y) + (-bx * d0x + ax * d1x)) * inv
+        dens = 0.5 * (f * (exx * exx + eyy * eyy + 2 * nu * exx * eyy)
+                      + f * (1 - nu) / 2 * gxy * gxy)
+        return jnp.abs(det) * dens                  # per-element, x area 2
+
+    def domain_energy(self, params, grid: StructuredGrid) -> jax.Array:
+        """Elastic strain energy; exact (constant-strain) integration."""
+        node = jnp.concatenate(
+            [self.coords(params, grid), self.u_full(params, grid)],
+            axis=-1)                                 # [nx, ny, 4]
+        n00 = node[:-1, :-1]
+        n10 = node[1:, :-1]
+        n11 = node[1:, 1:]
+        n01 = node[:-1, 1:]
+        # "up" split: T1 = (n00, n10, n11), T2 = (n00, n11, n01)
+        e = self._tri_energy(n00, n10, n11) + self._tri_energy(n00, n11,
+                                                               n01)
+        # w_sum = 0.5 (triangle-rule weight sum) applied to |det|*dens
+        return 0.5 * jnp.sum(grid.quad_mask * e)
+
+    def edge_energy(self, params, grid: StructuredGrid) -> jax.Array:
+        """Uniform +x traction work on active right-edge segments
+        (exact for linear edge elements)."""
+        coords = self.coords(params, grid)
+        u = self.u_full(params, grid)
+        cx = coords[-1, :, 0]
+        cy = coords[-1, :, 1]
+        ux = u[-1, :, 0]
+        ds = jnp.sqrt((cx[1:] - cx[:-1]) ** 2 + (cy[1:] - cy[:-1]) ** 2)
+        t_x = self.F_total / self.traction_length
+        return t_x * jnp.sum(grid.neumann_edge_mask * ds
+                             * 0.5 * (ux[1:] + ux[:-1]))
+
+    def total(self, params, grid: StructuredGrid) -> jax.Array:
+        return self.domain_energy(params, grid) - self.edge_energy(params,
+                                                                   grid)
+
+    __call__ = total
+
+    # --------------------------------------------------------- conversion
+    def to_trimesh(self, grid: StructuredGrid):
+        """The exactly-equivalent unstructured TriMesh (active triangles
+        only, same node set/order flattened i*ny+j) — for postproc, plots,
+        and equality tests against TriangleP1."""
+        from ..mesh.structured import unique_edges
+        from ..mesh.types import TriMesh
+
+        nx, ny = grid.nx, grid.ny
+        coords = np.asarray(grid.coords).reshape(-1, 2)
+        i, j = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                           indexing="ij")
+        i, j = i.ravel(), j.ravel()
+        n00 = i * ny + j
+        n10 = (i + 1) * ny + j
+        n01 = i * ny + (j + 1)
+        n11 = (i + 1) * ny + (j + 1)
+        t1 = np.stack([n00, n10, n11], 1)
+        t2 = np.stack([n00, n11, n01], 1)
+        cells = np.stack([t1, t2], axis=1).reshape(-1, 3)
+        active = np.repeat(np.asarray(grid.quad_mask).ravel() > 0, 2)
+        cells = cells[active]
+
+        mn_mask = np.zeros(nx * ny, bool)
+        em = np.asarray(grid.neumann_edge_mask) > 0
+        right = (nx - 1) * ny + np.arange(ny)
+        edges = np.stack([right[:-1], right[1:]], axis=1)[em]
+        mn_mask[edges.ravel()] = True
+
+        return TriMesh.from_arrays(
+            coords=coords,
+            connectivity=cells,
+            geom_boundary_mask=np.asarray(grid.geom_boundary_mask).ravel(),
+            dirichlet_mask=np.asarray(grid.dirichlet_mask).ravel(),
+            neumann_mask=mn_mask,
+            neumann_edges=np.sort(edges, axis=1),
+        )

@@ -1,0 +1,81 @@
+"""Gather-free structured-grid model: exact equality with the general
+TriangleP1 path on the equivalent TriMesh (values, gradients, solves)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hidenn_fem_tpu as ht
+from hidenn_fem_tpu.models.structured_grid import (StructuredGridP1,
+                                                   generate_structured_grid)
+
+
+def _pair(nx=17, ny=9, holes=()):
+    grid = generate_structured_grid(length=2.0, height=1.0, holes=holes,
+                                    nx=nx, ny=ny)
+    smodel = StructuredGridP1(E=10e9, nu=0.3)
+    sparams = smodel.init(jax.random.PRNGKey(0), grid)
+    sparams["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                            sparams["u"].shape)
+
+    mesh = smodel.to_trimesh(grid)
+    tmodel = ht.TriangleP1()
+    tparams = {
+        "coords": sparams["coords"].reshape(-1, 2),
+        "u": sparams["u"].reshape(-1, 2),
+    }
+    tenergy = ht.PlaneStressEnergy(model=tmodel, E=10e9, nu=0.3)
+    return grid, smodel, sparams, mesh, tmodel, tparams, tenergy
+
+
+@pytest.mark.parametrize("holes", [(), ((1.0, 0.5, 0.3),)])
+def test_energy_matches_general_path(holes):
+    grid, smodel, sp, mesh, tmodel, tp, tenergy = _pair(holes=holes)
+    v_s = float(smodel(sp, grid))
+    v_t = float(tenergy(tp, mesh))
+    assert np.isclose(v_s, v_t, rtol=1e-5), (v_s, v_t)
+
+
+def test_gradients_match_general_path():
+    grid, smodel, sp, mesh, tmodel, tp, tenergy = _pair(
+        holes=((1.0, 0.5, 0.3),))
+    gs = jax.grad(lambda p: smodel(p, grid))(sp)
+    gt = jax.grad(lambda p: tenergy(p, mesh))(tp)
+    for k in gs:
+        np.testing.assert_allclose(
+            np.asarray(gs[k]).reshape(-1, 2), np.asarray(gt[k]),
+            rtol=5e-4, atol=2e-3)
+
+
+def test_solve_matches_general_path():
+    grid, smodel, sp, mesh, tmodel, tp, tenergy = _pair(nx=33, ny=17)
+    ps, ls = ht.run_lbfgs(smodel.total, sp, num_steps=300,
+                          loss_args=(grid,))
+    pt, lt = ht.run_lbfgs(tenergy.total, tp, num_steps=300,
+                          loss_args=(mesh,))
+    vs = float(np.asarray(ls)[-1])
+    vt = float(np.asarray(lt)[-1])
+    assert vs == pytest.approx(vt, rel=1e-3), (vs, vt)
+
+
+def test_punched_quads_zero_contribution():
+    grid, smodel, sp, *_ = _pair(holes=((1.0, 0.5, 0.3),))
+    # zero out u inside the hole region: energy unchanged (those nodes
+    # belong only to punched quads)
+    inside_only = np.asarray(grid.geom_boundary_mask) & False
+    v1 = float(smodel(sp, grid))
+    import dataclasses
+    # deactivating an already-inactive quad changes nothing
+    qm = np.asarray(grid.quad_mask)
+    assert (qm == 0).any()
+    v2 = float(smodel(sp, dataclasses.replace(
+        grid, quad_mask=jnp.asarray(qm * (qm > 0)))))
+    assert v1 == v2
+
+
+def test_unsupported_traction_face_raises():
+    with pytest.raises(NotImplementedError):
+        generate_structured_grid(boundaries={"up": 2, "down": 0,
+                                             "left": 1, "right": 0},
+                                 nx=5, ny=5)
