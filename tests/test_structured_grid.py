@@ -79,3 +79,12 @@ def test_unsupported_traction_face_raises():
         generate_structured_grid(boundaries={"up": 2, "down": 0,
                                              "left": 1, "right": 0},
                                  nx=5, ny=5)
+
+
+def test_example6_small(tmp_path):
+    from examples import example6_structured
+    params, losses = example6_structured.main(nx=30, ny=15, lbfgs_steps=60,
+                                              outdir=str(tmp_path))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    import os
+    assert os.path.getsize(f"{tmp_path}/example6_von_mises.png") > 0
