@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StructuredGrid", "StructuredGridP1", "generate_structured_grid"]
+__all__ = ["StructuredGrid", "StructuredGridP1",
+           "generate_structured_grid", "pad_lattice"]
 
 
 @jax.tree_util.register_dataclass
@@ -133,6 +134,41 @@ def generate_structured_grid(
         quad_mask=jnp.asarray(quad_mask),
         neumann_edge_mask=jnp.asarray(mn_edges),
     )
+
+
+def pad_lattice(grid: StructuredGrid, params: Optional[dict],
+                multiple: int) -> Tuple[StructuredGrid, Optional[dict]]:
+    """Pad the lattice i-axis to a multiple of ``multiple`` (for sharding
+    the row axis over a device mesh; GSPMD turns the stencil slices into
+    halo exchanges automatically, but requires divisible dimensions).
+
+    Rows are PREPENDED as copies of row 0 with their quads deactivated,
+    coordinates frozen (geom mask) and values pinned (dirichlet mask), so
+    they contribute nothing — and the traction edge stays at index -1.
+    """
+    nx = grid.nx
+    k = (-nx) % multiple
+    if k == 0:
+        return grid, params
+
+    def prep(a, fill=None):
+        a = np.asarray(a)
+        row = np.repeat(a[0:1], k, axis=0) if fill is None \
+            else np.full((k,) + a.shape[1:], fill, a.dtype)
+        return jnp.asarray(np.concatenate([row, a], axis=0))
+
+    grid2 = StructuredGrid(
+        coords=prep(grid.coords),
+        geom_boundary_mask=prep(grid.geom_boundary_mask, True),
+        dirichlet_mask=prep(grid.dirichlet_mask, True),
+        quad_mask=prep(grid.quad_mask, 0.0),
+        neumann_edge_mask=grid.neumann_edge_mask,
+    )
+    params2 = None
+    if params is not None:
+        params2 = {"coords": prep(params["coords"]),
+                   "u": prep(params["u"], 0.0)}
+    return grid2, params2
 
 
 def _dilate_inactive(act: np.ndarray, nx: int, ny: int) -> np.ndarray:

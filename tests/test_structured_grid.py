@@ -88,3 +88,56 @@ def test_example6_small(tmp_path):
     assert np.all(np.isfinite(np.asarray(losses)))
     import os
     assert os.path.getsize(f"{tmp_path}/example6_von_mises.png") > 0
+
+
+def test_lattice_padding_exact():
+    grid = generate_structured_grid(length=2.0, height=1.0,
+                                    holes=((1.0, 0.5, 0.3),), nx=33, ny=17)
+    from hidenn_fem_tpu.models.structured_grid import pad_lattice
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    gridP, paramsP = pad_lattice(grid, params, 8)
+    assert gridP.nx % 8 == 0
+    g0 = jax.grad(lambda p: model(p, grid))(params)
+    gp = jax.grad(lambda p: model(p, gridP))(paramsP)
+    k = gridP.nx - grid.nx
+    # padded rows receive exactly zero gradient; real rows match exactly
+    for kk in g0:
+        assert float(jnp.abs(gp[kk][:k]).max()) == 0.0
+        np.testing.assert_array_equal(np.asarray(g0[kk]),
+                                      np.asarray(gp[kk])[k:])
+
+
+def test_lattice_row_sharding(eight_devices):
+    """GSPMD shards the lattice row axis; the stencil slices become halo
+    exchanges automatically.  Values/grads match up to f32 psum
+    reassociation."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from hidenn_fem_tpu.models.structured_grid import pad_lattice
+
+    grid = generate_structured_grid(length=2.0, height=1.0,
+                                    holes=((1.0, 0.5, 0.3),), nx=33, ny=17)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    gridP, paramsP = pad_lattice(grid, params, 8)
+    v0 = float(model(paramsP, gridP))
+    g0 = jax.grad(lambda p: model(p, gridP))(paramsP)
+
+    dmesh = Mesh(np.asarray(jax.devices()[:8]), ("i",))
+    row = NamedSharding(dmesh, P("i"))
+    repl = NamedSharding(dmesh, P())
+    shard = lambda x: jax.device_put(
+        x, row if x.ndim and x.shape[0] % 8 == 0 else repl)
+    gridS = jax.tree.map(shard, gridP)
+    paramsS = jax.tree.map(shard, paramsP)
+    v1 = float(jax.jit(lambda p, g: model(p, g))(paramsS, gridS))
+    g1 = jax.jit(jax.grad(lambda p: model(p, gridS)))(paramsS)
+    assert np.isclose(v0, v1, rtol=1e-5)
+    for kk in g0:
+        a, b = np.asarray(g0[kk]), np.asarray(g1[kk])
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale)
