@@ -15,6 +15,8 @@ from .mesh.gmsh_backend import generate_mesh_gmsh, have_gmsh
 from .models.linear1d import Linear1D
 from .models.bilinear2d import Bilinear2D
 from .models.triangle_p1 import TriangleP1
+from .models.structured_grid import (StructuredGrid, StructuredGridP1,
+                                     generate_structured_grid)
 from .ops.quadrature import interval_gauss_points, \
     interval_gauss_points_m11, triangle_gauss_points
 from .ops.elasticity import plane_stress_C, von_mises_plane_stress
