@@ -51,15 +51,35 @@ class BandedAssembly:
       inc_rel:   [Bn, NB, maxdeg] int32 — window-relative incidence into
         the flat [3*Ne] cotangent rows; unused slots hold the window size
         (index of a zeros row appended per window).
+
+    Recompute backward (node blocks over *element* windows — the
+    single-pass block-fused backward of ``ops/banded_energy.py``: each
+    node block recomputes the cotangents of its incident element window
+    in-block and consumes them immediately, so no global cotangent array
+    is ever materialized):
+      re_nstarts:  [Br] int32 — node-window start (for the recompute
+        gather of nodal data) per node block.
+      re_estarts:  [Br] int32 — element-window start per node block.
+      re_conn_rel: [Br, EW, 3] int32 — element-window connectivity,
+        relative to ``re_nstarts``.
+      re_inc_rel:  [Br, NBr, maxdeg] int32 — flat (e_rel*3 + v) indices
+        into the block's recomputed [EW*3, F] cotangents; unused slots
+        hold 3*EW (a zeros row appended in-block).
     """
 
     starts: jax.Array
     conn_rel: jax.Array
     ct_starts: jax.Array
     inc_rel: jax.Array
+    re_nstarts: Optional[jax.Array] = None
+    re_estarts: Optional[jax.Array] = None
+    re_conn_rel: Optional[jax.Array] = None
+    re_inc_rel: Optional[jax.Array] = None
     # static window sizes (pytree metadata, not leaves)
     wnode: int = dataclasses.field(metadata=dict(static=True), default=0)
     wct: int = dataclasses.field(metadata=dict(static=True), default=0)
+    re_wnode: int = dataclasses.field(metadata=dict(static=True), default=0)
+    re_ew: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n_element_blocks(self) -> int:
@@ -72,22 +92,39 @@ class BandedAssembly:
 
 def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
                           incidence: np.ndarray,
-                          window_limit: int = WINDOW_LIMIT
+                          window_limit: int = WINDOW_LIMIT,
+                          block_multiple: int = 1
                           ) -> Optional[BandedAssembly]:
     """Build a BandedAssembly, or None if the mesh is not bandable.
 
     Returns None when no candidate block count keeps every node window
     under ``window_limit`` — callers fall back to global-gather assembly
     (consider ``rcm_node_order`` + ``structured.reorder_mesh`` first).
+
+    ``block_multiple``: force every block count to be a multiple of this
+    (the device count, for element-sharded shard_map execution where each
+    device scans a contiguous slice of blocks).
     """
     conn = np.asarray(connectivity, dtype=np.int64)
     ne = conn.shape[0]
     if ne == 0:
         return None
 
+    from . import native
+    if native.available():
+        t = native.banded_tables(connectivity, n_nodes,
+                                 incidence, window_limit, block_multiple)
+        if t is None:
+            return None
+        return BandedAssembly(
+            **{k: (v if isinstance(v, int) else jnp.asarray(v))
+               for k, v in t.items()})
+
     # ---- forward tables: element blocks -> node windows
     fwd = None
     for b in _BLOCK_CANDIDATES:
+        if b % block_multiple:
+            continue
         eb = -(-ne // b)
         pad = b * eb - ne
         # pad with a degenerate triple of the last element's first node:
@@ -114,6 +151,8 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
     n_ct_rows = ne * 3
     bwd = None
     for bn in _BLOCK_CANDIDATES:
+        if bn % block_multiple:
+            continue
         nb = -(-n // bn)
         pad = bn * nb - n
         inc_p = np.concatenate(
@@ -141,6 +180,19 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
 
     starts, conn_rel, wnode = fwd
     ct_starts, inc_rel, wct = bwd
+    re = _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
+                                 block_multiple)
+    re_kwargs = {}
+    if re is not None:
+        nstarts, estarts, re_conn_rel, re_inc_rel, re_wnode, re_ew = re
+        re_kwargs = dict(
+            re_nstarts=jnp.asarray(nstarts),
+            re_estarts=jnp.asarray(estarts),
+            re_conn_rel=jnp.asarray(re_conn_rel),
+            re_inc_rel=jnp.asarray(re_inc_rel),
+            re_wnode=re_wnode,
+            re_ew=re_ew,
+        )
     return BandedAssembly(
         starts=jnp.asarray(starts),
         conn_rel=jnp.asarray(conn_rel),
@@ -148,7 +200,57 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
         inc_rel=jnp.asarray(inc_rel),
         wnode=wnode,
         wct=wct,
+        **re_kwargs,
     )
+
+
+def _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
+                            block_multiple=1):
+    """Tables for the single-pass recompute backward (see class docstring).
+
+    Picks the smallest node-block count whose element windows keep both
+    the in-block cotangent table (3*EW rows) and the recompute node
+    window under ``window_limit``.  Returns None if no candidate fits —
+    the energy backward falls back to the two-pass scheme.
+    """
+    n = inc.shape[0]
+    maxdeg = inc.shape[1]
+    rmin = conn.min(axis=1)
+    rmax = conn.max(axis=1)
+    for br in _BLOCK_CANDIDATES:
+        if br % block_multiple:
+            continue
+        nb = -(-n // br)
+        pad = br * nb - n
+        inc_p = np.concatenate(
+            [inc, np.full((pad, maxdeg), -1, np.int64)]) if pad else inc
+        blocks = inc_p.reshape(br, nb, maxdeg)
+        valid = blocks >= 0
+        e_of = np.where(valid, blocks // 3, np.int64(-1))
+        emin = np.where(valid, e_of, np.int64(ne)).reshape(br, -1).min(1)
+        emax = e_of.reshape(br, -1).max(1)
+        empty = emax < 0
+        emin = np.where(empty, 0, emin)
+        emax = np.where(empty, 0, emax)
+        ew = int((emax - emin + 1).max())
+        if 3 * ew > window_limit:
+            continue
+        ew = min(ew, ne)
+        estarts = np.minimum(emin, ne - ew).astype(np.int64)
+        nmin = np.array([rmin[s:s + ew].min() for s in estarts])
+        nmax = np.array([rmax[s:s + ew].max() for s in estarts])
+        wn = int((nmax - nmin + 1).max())
+        if wn > window_limit:
+            continue
+        wn = min(wn, n_nodes)
+        nstarts = np.minimum(nmin, n_nodes - wn).astype(np.int64)
+        conn_win = np.stack([conn[s:s + ew] for s in estarts])
+        conn_rel = (conn_win - nstarts[:, None, None]).astype(np.int32)
+        rel3 = blocks - 3 * estarts[:, None, None]
+        rel3 = np.where(valid, rel3, np.int64(3 * ew)).astype(np.int32)
+        return (nstarts.astype(np.int32), estarts.astype(np.int32),
+                conn_rel, rel3, wn, ew)
+    return None
 
 
 def reorder_mesh(mesh, build_banded="auto"):

@@ -229,16 +229,15 @@ class PlaneStressEnergy:
             node = self.model.packed_nodes(params, mesh)
             backend0 = self._resolve_backend()
             if (mesh.banded is not None
-                    and backend0 in ("pallas_blockfused",
+                    and backend0 in ("pallas", "pallas_blockfused",
                                      "pallas_interpret")
                     and self.model.dim_u == 2 and self.body_force is None):
-                # alternative big-mesh path: block-fused banded energy
-                # (gathers consumed in-block by the Pallas kernels; see
-                # ops/banded_energy.py).  Its forward is ~1.6x faster than
-                # the default, but the backward's per-block transposes
-                # made it net-slower at 922K elements (49.5 vs 35.7 ms
-                # fwd+bwd, measured) — kept opt-in pending a faster
-                # backward.
+                # big-mesh default: block-fused banded energy (gathers
+                # consumed in-block by the Pallas kernels; see
+                # ops/banded_energy.py).  With the single-pass recompute
+                # backward this beats the gather-then-kernel path 32.5 vs
+                # 36.7 ms fwd+bwd at 922K elements (measured round 2), so
+                # it is now the auto backend whenever banded tables exist.
                 from .banded_energy import banded_element_energy
                 return banded_element_energy(
                     node, mesh.banded, float(E), float(nu),
