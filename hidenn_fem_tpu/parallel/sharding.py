@@ -43,7 +43,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..mesh.types import TriMesh
 
 __all__ = ["device_mesh", "pad_mesh", "shard_mesh", "replicate",
-           "shard_map_energy", "mesh_shardings"]
+           "shard_map_energy", "mesh_shardings", "reband_for_shards",
+           "shard_map_banded_energy"]
 
 ELEM_AXIS = "elem"
 
@@ -148,5 +149,91 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         # scatter-AD + psum path owns gradient reduction under sharding
         return fn(params, dataclasses.replace(tri, incidence=None,
                                               banded=None))
+
+    return loss_fn
+
+
+def reband_for_shards(tri: TriMesh, n_shards: int,
+                      window_limit: Optional[int] = None) -> TriMesh:
+    """Rebuild a TriMesh's banded tables with block counts divisible by
+    ``n_shards`` so ``shard_map_banded_energy`` can hand each device a
+    contiguous slice of element/node blocks."""
+    from ..mesh.banded import build_banded_assembly, WINDOW_LIMIT
+    from ..mesh.types import build_incidence_table
+
+    conn = np.asarray(tri.connectivity)
+    inc = (np.asarray(tri.incidence) if tri.incidence is not None
+           else build_incidence_table(conn, tri.n_nodes))
+    ba = build_banded_assembly(
+        conn, tri.n_nodes, inc,
+        window_limit=window_limit or WINDOW_LIMIT,
+        block_multiple=n_shards)
+    if ba is None or ba.re_conn_rel is None:
+        raise ValueError(
+            f"mesh not bandable with block counts divisible by {n_shards} "
+            "(try reorder_mesh or a larger window_limit)")
+    return dataclasses.replace(tri, banded=ba)
+
+
+def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
+    """Element-sharded energy that KEEPS the single-chip fast paths.
+
+    Unlike ``shard_map_energy`` (global gathers + scatter-add AD), this
+    composes the blocked-window Pallas energy with the device mesh: the
+    banded tables' *block axes* are sharded over devices, so each device
+    scans its contiguous slice of element blocks (forward, psum of scalar
+    partials) and of node blocks (backward).  The single-pass recompute
+    backward makes this communication-free for gradients: a node block's
+    gradient only needs its incident element window, which its owner
+    recomputes locally (halo recompute instead of halo exchange); the
+    per-device zero-padded nodal cotangents are summed by shard_map's
+    transpose of the replicated node-table input.
+
+    Requires tables built with ``reband_for_shards(tri, n_devices)``.
+    Returns ``loss_fn(params, tri)``.
+    """
+    from ..mesh.banded import BandedAssembly
+    from ..ops import quadrature as quad
+    from ..ops.banded_energy import _banded_energy_rows
+
+    D = dmesh.devices.size
+
+    def loss_fn(params, tri):
+        ba = tri.banded
+        if ba is None or ba.re_conn_rel is None:
+            raise ValueError("mesh has no recompute banded tables; "
+                             "build with reband_for_shards")
+        if ba.starts.shape[0] % D or ba.re_nstarts.shape[0] % D:
+            raise ValueError("banded block counts not divisible by the "
+                             "device count; rebuild with reband_for_shards")
+        node = energy.model.packed_nodes(params, tri)
+        w_sum = quad.triangle_weight_sum(energy.gauss_order)
+        E, nu = float(energy.E), float(energy.nu)
+        interpret = (energy.backend == "pallas_interpret"
+                     or jax.default_backend() == "cpu")
+        nbr = ba.re_inc_rel.shape[1]
+        rows_per_dev = (ba.re_nstarts.shape[0] // D) * nbr
+        row_starts = jnp.arange(D, dtype=jnp.int32) * rows_per_dev
+
+        def body(node_rep, starts, conn_rel, re_ns, re_cr, re_ir, rs):
+            ba_loc = BandedAssembly(
+                starts=starts, conn_rel=conn_rel,
+                ct_starts=None, inc_rel=None,
+                re_nstarts=re_ns, re_estarts=None,
+                re_conn_rel=re_cr, re_inc_rel=re_ir,
+                wnode=ba.wnode, wct=0,
+                re_wnode=ba.re_wnode, re_ew=ba.re_ew)
+            part = _banded_energy_rows(node_rep, ba_loc, E, nu, w_sum,
+                                       interpret, rs[0])
+            return jax.lax.psum(part, axis)
+
+        fn = jax.shard_map(
+            body, mesh=dmesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=P(), check_vma=False)
+        dom = fn(node, ba.starts, ba.conn_rel, ba.re_nstarts,
+                 ba.re_conn_rel, ba.re_inc_rel, row_starts)
+        return dom - energy.edge_energy(params, tri)
 
     return loss_fn

@@ -90,6 +90,34 @@ def test_sharded_solve_end_to_end(setup, eight_devices):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
 
 
+def test_shard_map_banded_energy_matches(eight_devices):
+    """The fast-path composition (VERDICT r1 #3): blocked-window Pallas
+    energy with block axes sharded over the device mesh — loss AND both
+    gradient groups match the single-device computation."""
+    mesh = ht.proxy_plate_mesh(nx=65, ny=33)      # 4096 elements
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    dmesh = sh.device_mesh(8)
+    # small window to force real multi-block tables on a test-size mesh
+    banded = sh.reband_for_shards(mesh, 8, window_limit=800)
+    assert banded.banded.starts.shape[0] % 8 == 0
+    assert banded.banded.re_nstarts.shape[0] % 8 == 0
+
+    loss_fn = sh.shard_map_banded_energy(energy, dmesh)
+    single = dataclasses.replace(mesh, banded=None)
+    v_sh, g_sh = jax.jit(jax.value_and_grad(loss_fn))(params, banded)
+    v_ref, g_ref = jax.value_and_grad(
+        lambda p: energy(p, single))(params)
+    assert np.isclose(float(v_sh), float(v_ref), rtol=1e-5)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_sh[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=5e-4, atol=1e-9)
+
+
 def test_edge_padding_degenerate_zero(setup):
     """Padded (0,0) edges have ds == 0 and contribute nothing."""
     mesh, tp1, params, energy = setup
