@@ -14,13 +14,21 @@ whole quads (weight-0 quads contribute nothing to energy or gradients).
 triangles, same DOFs), so all post-processing/plot tooling — and the
 equality tests — reuse the general path.
 
-Triangulation is the "up" variant: quad (i, j) splits into
-T1 = (n00, n10, n11) and T2 = (n00, n11, n01) along the n00-n11 diagonal
-(counter-clockwise, detJ > 0 on an undistorted lattice).
+Triangulation variants (static ``split`` field, matching
+``mesh.structured.rectangle_tri_zigzag``):
 
-Boundary conditions follow the plate convention of the reference's
-example 4: Dirichlet nodes pinned to ``u_fixed``, geometric-boundary node
-coordinates frozen, uniform +x traction on masked right-edge segments.
+* "up": every quad (i, j) splits into T1 = (n00, n10, n11) and
+  T2 = (n00, n11, n01) along the n00-n11 diagonal;
+* "down": along the n10-n01 diagonal, T1 = (n00, n10, n01),
+  T2 = (n10, n11, n01);
+* "zigzag": alternating by (i+j) parity — the reference's default
+  meshzoo topology (``/root/reference/src/mesh.py:187``).
+
+Boundary conditions generalize the reference plate
+(``/root/reference/src/mesh.py:104-122``): Dirichlet nodes pinned to a
+scalar or per-node prescribed field, geometric-boundary node coordinates
+frozen, and constant traction on masked edge segments of ANY of the four
+faces (per-face traction vectors).
 """
 
 from __future__ import annotations
@@ -45,15 +53,33 @@ class StructuredGrid:
       coords: [nx, ny, 2] initial node coordinates.
       geom_boundary_mask / dirichlet_mask: [nx, ny] bool node masks.
       quad_mask: [nx-1, ny-1] float 1/0 — active quads (0 = punched).
-      neumann_edge_mask: [ny-1] float 1/0 — active right-edge segments
-        (between nodes (nx-1, j) and (nx-1, j+1)) carrying the traction.
+      neumann_edge_masks: dict face -> float 1/0 segment mask carrying
+        the traction: 'left'/'right' are [ny-1] (segments between nodes
+        (0|nx-1, j) and (.., j+1)), 'up'/'down' are [nx-1].  Missing or
+        all-zero faces carry none.
+      u_dirichlet: optional [nx, ny, 2] prescribed nodal values on
+        Dirichlet nodes (None -> the model's scalar ``u_fixed``).
+      split: triangulation variant ("up" | "down" | "zigzag"), static.
     """
 
     coords: jax.Array
     geom_boundary_mask: jax.Array
     dirichlet_mask: jax.Array
     quad_mask: jax.Array
-    neumann_edge_mask: jax.Array
+    neumann_edge_masks: Dict[str, jax.Array]
+    u_dirichlet: Optional[jax.Array] = None
+    split: str = dataclasses.field(metadata=dict(static=True),
+                                   default="up")
+    # parity phase of the zigzag split: quad (i, j) uses the "up" diagonal
+    # when (i + j + zigzag_phase) is even.  pad_lattice bumps it so row
+    # padding preserves the physical triangulation.
+    zigzag_phase: int = dataclasses.field(metadata=dict(static=True),
+                                          default=0)
+
+    @property
+    def neumann_edge_mask(self) -> Optional[jax.Array]:
+        """Back-compat alias: the right-face segment mask."""
+        return self.neumann_edge_masks.get("right")
 
     @property
     def nx(self) -> int:
@@ -76,15 +102,25 @@ def generate_structured_grid(
     boundaries: Optional[Dict[str, int]] = None,
     nx: int = 100,
     ny: int = 50,
+    split: str = "up",
+    u_dirichlet=None,
 ) -> StructuredGrid:
     """Structured-lattice analog of ``mesh.generate_mesh``.
 
     Holes are punched by deactivating every quad with at least one corner
     inside a hole (the lattice keeps its full shape; punched quads carry
-    weight 0).  Only the reference plate's BC pattern is expressed:
-    Dirichlet from ``boundaries`` faces marked 1, traction on right-face
-    segments when ``boundaries['right'] == 2``.
+    weight 0).  BC surface matches the reference's face->condition dict
+    (``/root/reference/src/mesh.py:104-122``): faces marked 1 are
+    Dirichlet, faces marked 2 carry traction (any face; segments adjacent
+    to punched quads are masked out, matching the general path's
+    both-nodes-Neumann edge filter).
+
+    ``split`` picks the triangulation variant ("up" | "down" | "zigzag");
+    ``u_dirichlet`` optionally prescribes nodal values (scalar or
+    [nx, ny, 2]) on Dirichlet nodes.
     """
+    if split not in ("up", "down", "zigzag"):
+        raise ValueError(f"unknown split {split!r}")
     if boundaries is None:
         boundaries = {"up": 0, "down": 0, "right": 2, "left": 1}
     xs = np.linspace(0.0, length, nx)
@@ -116,23 +152,33 @@ def generate_structured_grid(
     geom |= inside | (touched & _dilate_inactive(act, nx, ny))
 
     bc = np.zeros((nx, ny), bool)
-    mn_edges = np.zeros(ny - 1, np.float32)
+    # quads adjacent to each face's segments (traction on a segment whose
+    # quad is punched would act on a nonexistent element edge)
+    adj_quad = {
+        "right": quad_mask[-1, :], "left": quad_mask[0, :],
+        "up": quad_mask[:, -1], "down": quad_mask[:, 0],
+    }
+    mn_masks = {}
     for f, condition in boundaries.items():
         if condition == 1:
             bc |= face[f]
-        elif condition == 2 and f == "right":
-            mn_edges[:] = 1.0
         elif condition == 2:
-            raise NotImplementedError(
-                "structured fast path supports traction on the right face "
-                "only; use the general TriangleP1 path otherwise")
+            mn_masks[f] = jnp.asarray(
+                (adj_quad[f] > 0).astype(np.float32))
+
+    ud = None
+    if u_dirichlet is not None:
+        ud = jnp.broadcast_to(
+            jnp.asarray(u_dirichlet, jnp.float32), (nx, ny, 2))
 
     return StructuredGrid(
         coords=jnp.asarray(coords, jnp.float32),
         geom_boundary_mask=jnp.asarray(geom),
         dirichlet_mask=jnp.asarray(bc),
         quad_mask=jnp.asarray(quad_mask),
-        neumann_edge_mask=jnp.asarray(mn_edges),
+        neumann_edge_masks=mn_masks,
+        u_dirichlet=ud,
+        split=split,
     )
 
 
@@ -144,12 +190,20 @@ def pad_lattice(grid: StructuredGrid, params: Optional[dict],
 
     Rows are PREPENDED as copies of row 0 with their quads deactivated,
     coordinates frozen (geom mask) and values pinned (dirichlet mask), so
-    they contribute nothing — and the traction edge stays at index -1.
+    they contribute nothing — and a right-face traction edge stays at
+    index -1.  Up/down face segment masks get zero-padded; a left-face
+    traction is unsupported under row padding (the physical left face is
+    no longer lattice row 0).
     """
     nx = grid.nx
     k = (-nx) % multiple
     if k == 0:
         return grid, params
+    left = grid.neumann_edge_masks.get("left")
+    if left is not None and bool(np.asarray(left).any()):
+        raise NotImplementedError(
+            "pad_lattice cannot pad the row axis with an active left-face "
+            "traction; pad the column axis instead (transpose the grid)")
 
     def prep(a, fill=None):
         a = np.asarray(a)
@@ -157,12 +211,23 @@ def pad_lattice(grid: StructuredGrid, params: Optional[dict],
             else np.full((k,) + a.shape[1:], fill, a.dtype)
         return jnp.asarray(np.concatenate([row, a], axis=0))
 
+    def prep_seg(f, m):
+        if f in ("up", "down"):    # [nx-1] segment masks grow with rows
+            return jnp.asarray(np.concatenate(
+                [np.zeros(k, np.asarray(m).dtype), np.asarray(m)]))
+        return m
+
     grid2 = StructuredGrid(
         coords=prep(grid.coords),
         geom_boundary_mask=prep(grid.geom_boundary_mask, True),
         dirichlet_mask=prep(grid.dirichlet_mask, True),
         quad_mask=prep(grid.quad_mask, 0.0),
-        neumann_edge_mask=grid.neumann_edge_mask,
+        neumann_edge_masks={f: prep_seg(f, m)
+                            for f, m in grid.neumann_edge_masks.items()},
+        u_dirichlet=(None if grid.u_dirichlet is None
+                     else prep(grid.u_dirichlet)),
+        split=grid.split,
+        zigzag_phase=(grid.zigzag_phase + k) % 2,
     )
     params2 = None
     if params is not None:
@@ -195,6 +260,9 @@ class StructuredGridP1:
     u_fixed: float = 0.0
     init_scale: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # optional per-face constant traction vectors, face -> (tx, ty);
+    # faces absent from the dict use (F_total / traction_length, 0)
+    tractions: Optional[Dict[str, Tuple[float, float]]] = None
 
     # ---------------------------------------------------------------- init
     def init(self, key, grid: StructuredGrid) -> dict:
@@ -209,8 +277,10 @@ class StructuredGridP1:
                          params["coords"])
 
     def u_full(self, params, grid: StructuredGrid) -> jax.Array:
-        return jnp.where(grid.dirichlet_mask[..., None],
-                         jnp.asarray(self.u_fixed, self.dtype),
+        fixed = (jnp.asarray(grid.u_dirichlet, self.dtype)
+                 if grid.u_dirichlet is not None
+                 else jnp.asarray(self.u_fixed, self.dtype))
+        return jnp.where(grid.dirichlet_mask[..., None], fixed,
                          params["u"])
 
     # -------------------------------------------------------------- energy
@@ -247,24 +317,58 @@ class StructuredGridP1:
         n10 = node[1:, :-1]
         n11 = node[1:, 1:]
         n01 = node[:-1, 1:]
-        # "up" split: T1 = (n00, n10, n11), T2 = (n00, n11, n01)
-        e = self._tri_energy(n00, n10, n11) + self._tri_energy(n00, n11,
-                                                               n01)
+        # "up" split: T1 = (n00, n10, n11), T2 = (n00, n11, n01) along the
+        # n00-n11 diagonal; "down": T1 = (n00, n10, n01),
+        # T2 = (n10, n11, n01) along n10-n01; zigzag alternates by parity.
+        if grid.split == "up":
+            e = (self._tri_energy(n00, n10, n11)
+                 + self._tri_energy(n00, n11, n01))
+        elif grid.split == "down":
+            e = (self._tri_energy(n00, n10, n01)
+                 + self._tri_energy(n10, n11, n01))
+        elif grid.split == "zigzag":
+            e_up = (self._tri_energy(n00, n10, n11)
+                    + self._tri_energy(n00, n11, n01))
+            e_dn = (self._tri_energy(n00, n10, n01)
+                    + self._tri_energy(n10, n11, n01))
+            ii = jnp.arange(grid.nx - 1)[:, None]
+            jj = jnp.arange(grid.ny - 1)[None, :]
+            even = (ii + jj + grid.zigzag_phase) % 2 == 0
+            e = jnp.where(even, e_up, e_dn)
+        else:
+            raise ValueError(f"unknown split {grid.split!r}")
         # w_sum = 0.5 (triangle-rule weight sum) applied to |det|*dens
         return 0.5 * jnp.sum(grid.quad_mask * e)
 
     def edge_energy(self, params, grid: StructuredGrid) -> jax.Array:
-        """Uniform +x traction work on active right-edge segments
-        (exact for linear edge elements)."""
+        """Constant-traction work on active edge segments of any face
+        (exact for linear edge elements).
+
+        Per-face traction vectors come from ``self.tractions`` (face ->
+        (tx, ty)); faces not listed default to the reference's uniform +x
+        pull (F_total / traction_length, 0)
+        (``/root/reference/src/loss.py:47-51``).
+        """
         coords = self.coords(params, grid)
         u = self.u_full(params, grid)
-        cx = coords[-1, :, 0]
-        cy = coords[-1, :, 1]
-        ux = u[-1, :, 0]
-        ds = jnp.sqrt((cx[1:] - cx[:-1]) ** 2 + (cy[1:] - cy[:-1]) ** 2)
-        t_x = self.F_total / self.traction_length
-        return t_x * jnp.sum(grid.neumann_edge_mask * ds
-                             * 0.5 * (ux[1:] + ux[:-1]))
+        line = {
+            "right": (coords[-1], u[-1]),
+            "left": (coords[0], u[0]),
+            "up": (coords[:, -1], u[:, -1]),
+            "down": (coords[:, 0], u[:, 0]),
+        }
+        t_default = (self.F_total / self.traction_length, 0.0)
+        work = jnp.zeros((), self.dtype)
+        for f, mask in grid.neumann_edge_masks.items():
+            c, uu = line[f]
+            dx = c[1:, 0] - c[:-1, 0]
+            dy = c[1:, 1] - c[:-1, 1]
+            ds = jnp.sqrt(dx * dx + dy * dy)
+            tx, ty = (self.tractions or {}).get(f, t_default)
+            tu = (tx * 0.5 * (uu[1:, 0] + uu[:-1, 0])
+                  + ty * 0.5 * (uu[1:, 1] + uu[:-1, 1]))
+            work = work + jnp.sum(mask * ds * tu)
+        return work
 
     def total(self, params, grid: StructuredGrid) -> jax.Array:
         return self.domain_energy(params, grid) - self.edge_energy(params,
@@ -289,17 +393,38 @@ class StructuredGridP1:
         n10 = (i + 1) * ny + j
         n01 = i * ny + (j + 1)
         n11 = (i + 1) * ny + (j + 1)
-        t1 = np.stack([n00, n10, n11], 1)
-        t2 = np.stack([n00, n11, n01], 1)
+        up1 = np.stack([n00, n10, n11], 1)
+        up2 = np.stack([n00, n11, n01], 1)
+        dn1 = np.stack([n00, n10, n01], 1)
+        dn2 = np.stack([n10, n11, n01], 1)
+        if grid.split == "up":
+            t1, t2 = up1, up2
+        elif grid.split == "down":
+            t1, t2 = dn1, dn2
+        else:
+            even = ((i + j + grid.zigzag_phase) % 2 == 0)[:, None]
+            t1 = np.where(even, up1, dn1)
+            t2 = np.where(even, up2, dn2)
         cells = np.stack([t1, t2], axis=1).reshape(-1, 3)
         active = np.repeat(np.asarray(grid.quad_mask).ravel() > 0, 2)
         cells = cells[active]
 
+        face_nodes = {
+            "right": (nx - 1) * ny + np.arange(ny),
+            "left": np.arange(ny),
+            "up": np.arange(nx) * ny + (ny - 1),
+            "down": np.arange(nx) * ny,
+        }
         mn_mask = np.zeros(nx * ny, bool)
-        em = np.asarray(grid.neumann_edge_mask) > 0
-        right = (nx - 1) * ny + np.arange(ny)
-        edges = np.stack([right[:-1], right[1:]], axis=1)[em]
-        mn_mask[edges.ravel()] = True
+        all_edges = []
+        for f, m in grid.neumann_edge_masks.items():
+            em = np.asarray(m) > 0
+            line = face_nodes[f]
+            e = np.stack([line[:-1], line[1:]], axis=1)[em]
+            all_edges.append(e)
+            mn_mask[e.ravel()] = True
+        edges = (np.concatenate(all_edges, axis=0) if all_edges
+                 else np.zeros((0, 2), np.int64))
 
         return TriMesh.from_arrays(
             coords=coords,

@@ -87,9 +87,12 @@ class TriangleP1:
 
     def u_full(self, params, mesh: TriMesh) -> jax.Array:
         """Nodal field [N, dim_u]; Dirichlet nodes pinned to ``u_fixed``
-        (``src/models.py:299-305`` analog)."""
+        (``src/models.py:299-305`` analog).  ``u_fixed`` may be a scalar,
+        a [dim_u] vector, or a full [N, dim_u] per-node table (the
+        reference passes full-size tensors, ``src/models.py:266-277``)."""
         fixed = jnp.broadcast_to(
-            jnp.asarray(self.u_fixed, self.dtype), (1, self.dim_u))
+            jnp.asarray(self.u_fixed, self.dtype),
+            (mesh.n_nodes, self.dim_u))
         return jnp.where(mesh.dirichlet_mask[:, None], fixed, params["u"])
 
     def packed_nodes(self, params, mesh: TriMesh) -> jax.Array:
