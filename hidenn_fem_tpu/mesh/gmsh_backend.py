@@ -21,7 +21,7 @@ import numpy as np
 from .structured import unique_edges, _face_mask
 from .types import TriMesh
 
-__all__ = ["generate_mesh_gmsh", "have_gmsh"]
+__all__ = ["generate_mesh_gmsh", "have_gmsh", "assemble_gmsh_mesh"]
 
 
 def have_gmsh() -> bool:
@@ -30,6 +30,62 @@ def have_gmsh() -> bool:
         return True
     except ImportError:
         return False
+
+
+def assemble_gmsh_mesh(node_tags, points, tri_tags, boundary_node_tags,
+                       holes, boundaries, length, height) -> TriMesh:
+    """Pure post-gmsh assembly (no gmsh API): tag remap, geometric
+    boundary + radial hole safety net, coordinate-tolerance BC masks,
+    Neumann-edge extraction (``/root/reference/src/mesh.py:48-153``
+    analog).  Split out of ``generate_mesh_gmsh`` so it is unit-testable
+    without gmsh installed (a fake gmsh module drives the API shell).
+
+    Args:
+      node_tags: [N] gmsh node tags (arbitrary positive ints, any order).
+      points: [N, 2] node coordinates in tag order.
+      tri_tags: [Ne, 3] triangle connectivity IN TAGS.
+      boundary_node_tags: set/array of tags on boundary curves/points.
+      holes / boundaries / length / height: the generator's arguments.
+    """
+    node_tags = np.asarray(node_tags)
+    points = np.asarray(points, dtype=np.float64)
+    tri_tags = np.asarray(tri_tags, dtype=np.int64)
+    tag_to_idx = {int(t): i for i, t in enumerate(node_tags)}
+    if tri_tags.size:
+        remap = np.vectorize(tag_to_idx.__getitem__, otypes=[np.int64])
+        cells = remap(tri_tags)
+    else:
+        cells = tri_tags.astype(np.int64)
+
+    bset = set(int(t) for t in boundary_node_tags)
+    geom_boundary = np.array([int(t) in bset for t in node_tags])
+    # radial hole test as a safety net (src/mesh.py:90-95)
+    for cx, cy, r in holes:
+        dist = np.hypot(points[:, 0] - cx, points[:, 1] - cy)
+        geom_boundary |= np.abs(dist - r) < 1e-6
+
+    bc_mask = np.zeros(points.shape[0], dtype=bool)
+    mn_mask = np.zeros(points.shape[0], dtype=bool)
+    for face, condition in boundaries.items():
+        if condition == 0:
+            continue
+        m = _face_mask(points, face, length, height)
+        if condition == 1:
+            bc_mask |= m
+        elif condition == 2:
+            mn_mask |= m
+
+    uedges = unique_edges(cells)
+    neumann_edges = uedges[np.all(mn_mask[uedges], axis=1)]
+
+    return TriMesh.from_arrays(
+        coords=points.astype(np.float32),
+        connectivity=cells,
+        geom_boundary_mask=geom_boundary,
+        dirichlet_mask=bc_mask,
+        neumann_mask=mn_mask,
+        neumann_edges=neumann_edges,
+    )
 
 
 def generate_mesh_gmsh(
@@ -74,7 +130,6 @@ def generate_mesh_gmsh(
 
         node_tags, node_xyz, _ = gmsh.model.mesh.getNodes()
         points = np.asarray(node_xyz).reshape(-1, 3)[:, :2]
-        tag_to_idx = {int(t): i for i, t in enumerate(node_tags)}
 
         elem_types, _, elem_node_tags = gmsh.model.mesh.getElements(2)
         tris = [np.asarray(nodes).reshape(-1, 3)
@@ -82,8 +137,6 @@ def generate_mesh_gmsh(
                 if etype == 2]
         tri_tags = (np.vstack(tris) if tris
                     else np.zeros((0, 3), dtype=np.int64))
-        remap = np.vectorize(tag_to_idx.__getitem__, otypes=[np.int64])
-        cells = remap(tri_tags) if tri_tags.size else tri_tags.astype(np.int64)
 
         # geometric boundary: nodes on all boundary curves and their points
         boundary_node_tags = set()
@@ -95,34 +148,9 @@ def generate_mesh_gmsh(
                                                      recursive=False):
                 boundary_node_tags.update(
                     gmsh.model.mesh.getNodes(pdim, ptag)[0])
-        geom_boundary = np.array(
-            [int(t) in boundary_node_tags for t in node_tags])
-        # radial hole test as a safety net (src/mesh.py:90-95)
-        for cx, cy, r in holes:
-            dist = np.hypot(points[:, 0] - cx, points[:, 1] - cy)
-            geom_boundary |= np.abs(dist - r) < 1e-6
     finally:
         gmsh.finalize()
 
-    bc_mask = np.zeros(points.shape[0], dtype=bool)
-    mn_mask = np.zeros(points.shape[0], dtype=bool)
-    for face, condition in boundaries.items():
-        if condition == 0:
-            continue
-        m = _face_mask(points, face, length, height)
-        if condition == 1:
-            bc_mask |= m
-        elif condition == 2:
-            mn_mask |= m
-
-    uedges = unique_edges(cells)
-    neumann_edges = uedges[np.all(mn_mask[uedges], axis=1)]
-
-    return TriMesh.from_arrays(
-        coords=points.astype(np.float32),
-        connectivity=cells,
-        geom_boundary_mask=geom_boundary,
-        dirichlet_mask=bc_mask,
-        neumann_mask=mn_mask,
-        neumann_edges=neumann_edges,
-    )
+    return assemble_gmsh_mesh(node_tags, points, tri_tags,
+                              boundary_node_tags, holes, boundaries,
+                              length, height)

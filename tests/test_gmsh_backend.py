@@ -1,0 +1,227 @@
+"""gmsh backend unit tests WITHOUT gmsh: the pure post-API assembly is
+tested directly, and the API shell is driven end-to-end by a fake gmsh
+module (VERDICT r1 #6 — the reference's default example-4 mesh source,
+``/root/reference/src/mesh.py:8-153``)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from hidenn_fem_tpu.mesh.gmsh_backend import (assemble_gmsh_mesh,
+                                              generate_mesh_gmsh)
+from hidenn_fem_tpu.mesh.structured import rectangle_tri_zigzag
+
+
+def _toy_mesh():
+    """A structured plate triangulation re-labelled with gmsh-style
+    non-contiguous, shuffled node tags."""
+    points, cells = rectangle_tri_zigzag(9, 5, 2.0, 1.0, variant="up")
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(points.shape[0])
+    # node i gets tag 3 + 7 * perm[i] (sparse, unordered)
+    tags = 3 + 7 * perm
+    tri_tags = tags[cells]
+    return points, cells, tags, tri_tags
+
+
+def test_assemble_remaps_tags_and_masks():
+    points, cells, tags, tri_tags = _toy_mesh()
+    on_face = ((np.abs(points[:, 0]) < 1e-9)
+               | (np.abs(points[:, 0] - 2.0) < 1e-9)
+               | (np.abs(points[:, 1]) < 1e-9)
+               | (np.abs(points[:, 1] - 1.0) < 1e-9))
+    boundary_tags = set(tags[on_face].tolist())
+
+    mesh = assemble_gmsh_mesh(
+        tags, points, tri_tags, boundary_tags, holes=(),
+        boundaries={"up": 0, "down": 0, "right": 2, "left": 1},
+        length=2.0, height=1.0)
+
+    # remap round-trips: triangles as coordinate triples are preserved
+    got = np.sort(np.asarray(mesh.coords)[np.asarray(mesh.connectivity)]
+                  .reshape(-1, 6), axis=0)
+    want = np.sort(points[cells].reshape(-1, 6).astype(np.float32), axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    np.testing.assert_array_equal(np.asarray(mesh.geom_boundary_mask),
+                                  on_face)
+    np.testing.assert_array_equal(np.asarray(mesh.dirichlet_mask),
+                                  np.abs(points[:, 0]) < 1e-9)
+    np.testing.assert_array_equal(np.asarray(mesh.neumann_mask),
+                                  np.abs(points[:, 0] - 2.0) < 1e-9)
+    # right face of a 9x5 grid: 4 segments
+    assert mesh.n_neumann_edges == 4
+    ne = np.asarray(mesh.neumann_edges)
+    assert np.all(np.abs(np.asarray(mesh.coords)[ne.ravel()][:, 0] - 2.0)
+                  < 1e-6)
+
+
+def test_assemble_radial_hole_safety_net():
+    points, cells, tags, tri_tags = _toy_mesh()
+    # a "hole" whose rim passes exactly through the (1.0, 0.5) grid node
+    mesh = assemble_gmsh_mesh(
+        tags, points, tri_tags, set(), holes=((1.0, 0.25, 0.25),),
+        boundaries={"up": 0, "down": 0, "right": 0, "left": 0},
+        length=2.0, height=1.0)
+    gm = np.asarray(mesh.geom_boundary_mask)
+    rim = np.hypot(points[:, 0] - 1.0, points[:, 1] - 0.25)
+    np.testing.assert_array_equal(gm, np.abs(rim - 0.25) < 1e-6)
+    assert gm.any()
+
+
+class _FakeGmsh(types.ModuleType):
+    """Minimal stand-in for the gmsh Python API driving the same calls
+    ``generate_mesh_gmsh`` makes, backed by the toy triangulation."""
+
+    def __init__(self):
+        super().__init__("gmsh")
+        points, cells, tags, tri_tags = _toy_mesh()
+        self._points = points
+        self._tags = tags
+        self._tri_tags = tri_tags
+        self.calls = []
+
+        fake = self
+
+        class occ:
+            @staticmethod
+            def addRectangle(x, y, z, l, h):
+                fake.calls.append(("rect", l, h))
+                return 1
+
+            @staticmethod
+            def addDisk(cx, cy, z, rx, ry):
+                fake.calls.append(("disk", cx, cy, rx))
+                return 10 + len(fake.calls)
+
+            @staticmethod
+            def cut(target, tools):
+                return ([(2, 99)], None)
+
+            @staticmethod
+            def synchronize():
+                pass
+
+        class mesh:
+            @staticmethod
+            def setSize(entities, lc):
+                fake.calls.append(("setSize", lc))
+
+            @staticmethod
+            def generate(dim):
+                fake.calls.append(("generate", dim))
+
+            @staticmethod
+            def getNodes(dim=None, tag=None):
+                if dim is None:
+                    xyz = np.concatenate(
+                        [fake._points,
+                         np.zeros((fake._points.shape[0], 1))],
+                        axis=1).ravel()
+                    return fake._tags, xyz, None
+                # per-curve nodes: carve the four faces into "curves"
+                p = fake._points
+                faces = [np.abs(p[:, 0]) < 1e-9,
+                         np.abs(p[:, 0] - 2.0) < 1e-9,
+                         np.abs(p[:, 1]) < 1e-9,
+                         np.abs(p[:, 1] - 1.0) < 1e-9]
+                m = faces[(tag - 1) % 4]
+                return fake._tags[m], None, None
+
+            @staticmethod
+            def getElements(dim):
+                # one 3-node-triangle block (etype 2) plus a bogus
+                # non-triangle block that must be ignored
+                return ([2, 1],
+                        None,
+                        [fake._tri_tags.ravel(),
+                         np.array([1, 2])])
+
+        class model:
+            @staticmethod
+            def add(name):
+                pass
+
+            @staticmethod
+            def getEntities(dim):
+                return [(0, 1)]
+
+            @staticmethod
+            def getBoundary(dimtags, oriented=False, recursive=False):
+                (dim, tag), = dimtags
+                if dim == 2:
+                    return [(1, 1), (1, 2), (1, 3), (1, 4)]
+                return []   # curve endpoints: already in curve node sets
+
+        model.occ = occ
+        model.mesh = mesh
+        self.model = model
+
+    def initialize(self):
+        self.calls.append(("initialize",))
+
+    def finalize(self):
+        self.calls.append(("finalize",))
+
+
+@pytest.fixture
+def fake_gmsh(monkeypatch):
+    fake = _FakeGmsh()
+    monkeypatch.setitem(sys.modules, "gmsh", fake)
+    return fake
+
+
+def test_generate_mesh_gmsh_end_to_end_with_fake(fake_gmsh):
+    mesh = generate_mesh_gmsh(length=2.0, height=1.0, holes=(),
+                              boundaries={"up": 0, "down": 0,
+                                          "right": 2, "left": 1},
+                              lc=0.25)
+    points, cells, tags, tri_tags = _toy_mesh()
+    assert mesh.n_elements == cells.shape[0]
+    assert mesh.n_nodes == points.shape[0]
+    # BC masks follow the face logic on the REMAPPED coordinates
+    np.testing.assert_array_equal(
+        np.asarray(mesh.dirichlet_mask),
+        np.abs(points[:, 0]) < 1e-9)
+    assert mesh.n_neumann_edges == 4
+    # boundary-curve walk marked all four faces geometric
+    on_face = ((np.abs(points[:, 0]) < 1e-9)
+               | (np.abs(points[:, 0] - 2.0) < 1e-9)
+               | (np.abs(points[:, 1]) < 1e-9)
+               | (np.abs(points[:, 1] - 1.0) < 1e-9))
+    np.testing.assert_array_equal(np.asarray(mesh.geom_boundary_mask),
+                                  on_face)
+    # lifecycle: initialize before finalize, finalize exactly once
+    names = [c[0] for c in fake_gmsh.calls]
+    assert names.index("initialize") < names.index("finalize")
+    assert names.count("finalize") == 1
+
+
+def test_generate_mesh_gmsh_energy_matches_structured(fake_gmsh):
+    """The fake-gmsh mesh is the structured plate in disguise: the energy
+    on it equals the energy on the directly-generated structured mesh."""
+    import jax
+    import hidenn_fem_tpu as ht
+    from hidenn_fem_tpu.mesh.structured import generate_mesh
+
+    gmesh = generate_mesh_gmsh(length=2.0, height=1.0, holes=(),
+                               boundaries={"up": 0, "down": 0,
+                                           "right": 2, "left": 1},
+                               lc=0.25)
+    smesh = generate_mesh(length=2.0, height=1.0, holes=(),
+                          boundaries={"up": 0, "down": 0,
+                                      "right": 2, "left": 1},
+                          nx=9, ny=5, variant="up")
+    model = ht.TriangleP1()
+    gp = model.init(jax.random.PRNGKey(0), gmesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+    # node orders differ (shuffled tags); compare at zero-u state where
+    # the energy depends only on geometry + BC sets
+    gp["u"] = 0 * gp["u"]
+    sp = model.init(jax.random.PRNGKey(0), smesh)
+    sp["u"] = 0 * sp["u"]
+    v_g = float(energy(gp, gmesh))
+    v_s = float(energy(sp, smesh))
+    assert np.isclose(v_g, v_s, rtol=1e-6), (v_g, v_s)
