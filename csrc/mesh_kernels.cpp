@@ -101,3 +101,245 @@ int hdnn_outside_holes(const double* points, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// structured triangulation: cells of an nx-by-ny point lattice.
+//   variant: 0 = "up" (n00-n11 diagonal), 1 = "down" (n10-n01),
+//            2 = "zigzag" (alternating by (i+j) parity)
+//   cells: [2*(nx-1)*(ny-1) * 3] int32, same interleaved order as
+//   mesh/structured.py rectangle_tri_zigzag (two triangles per quad,
+//   quads row-major by (i, j)).
+int hdnn_structured_cells(int64_t nx, int64_t ny, int variant,
+                          int32_t* cells) {
+  int64_t out = 0;
+  for (int64_t i = 0; i + 1 < nx; ++i) {
+    for (int64_t j = 0; j + 1 < ny; ++j) {
+      const int32_t n00 = static_cast<int32_t>(i * ny + j);
+      const int32_t n10 = static_cast<int32_t>((i + 1) * ny + j);
+      const int32_t n01 = static_cast<int32_t>(i * ny + j + 1);
+      const int32_t n11 = static_cast<int32_t>((i + 1) * ny + j + 1);
+      const bool up = variant == 0 || (variant == 2 && ((i + j) % 2 == 0));
+      if (up) {
+        cells[out++] = n00; cells[out++] = n10; cells[out++] = n11;
+        cells[out++] = n00; cells[out++] = n11; cells[out++] = n01;
+      } else {
+        cells[out++] = n00; cells[out++] = n10; cells[out++] = n01;
+        cells[out++] = n10; cells[out++] = n11; cells[out++] = n01;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// banded-assembly planning + filling (same contracts / tie-breaks as
+// mesh/banded.py build_banded_assembly + _build_recompute_tables).
+//
+// plan layout (int64[12]):
+//   [0] b     [1] eb    [2] wnode
+//   [3] bn    [4] nb    [5] wct
+//   [6] br    [7] nbr   [8] ew    [9] wn
+//   [10] has_recompute (0/1)      [11] reserved
+static const int kCandidates[6] = {4, 8, 16, 32, 64, 128};
+
+int hdnn_banded_plan(const int32_t* conn, int64_t ne,
+                     const int32_t* inc, int64_t n, int64_t maxdeg,
+                     int64_t window_limit, int64_t block_multiple,
+                     int64_t* plan) {
+  // ---- forward: element blocks -> node windows
+  bool found = false;
+  for (int ci = 0; ci < 6 && !found; ++ci) {
+    const int64_t b = kCandidates[ci];
+    if (b % block_multiple) continue;
+    const int64_t eb = (ne + b - 1) / b;
+    const int32_t padval = conn[(ne - 1) * 3];
+    int64_t wsize = 0;
+    for (int64_t blk = 0; blk < b; ++blk) {
+      int32_t lo = INT32_MAX, hi = INT32_MIN;
+      const int64_t e0 = blk * eb, e1 = std::min(ne, (blk + 1) * eb);
+      for (int64_t e = e0; e < e1; ++e)
+        for (int v = 0; v < 3; ++v) {
+          const int32_t x = conn[e * 3 + v];
+          lo = std::min(lo, x); hi = std::max(hi, x);
+        }
+      if (e1 < (blk + 1) * eb) {  // padded slots in this block
+        lo = std::min(lo, padval); hi = std::max(hi, padval);
+      }
+      if (e0 >= e1 && e1 >= ne) { lo = padval; hi = padval; }
+      wsize = std::max<int64_t>(wsize, (int64_t)hi - lo + 1);
+    }
+    if (wsize <= window_limit) {
+      plan[0] = b; plan[1] = eb; plan[2] = std::min<int64_t>(wsize, n);
+      found = true;
+    }
+  }
+  if (!found) return 1;
+
+  // ---- backward: node blocks -> cotangent windows
+  const int64_t nct = ne * 3;
+  found = false;
+  for (int ci = 0; ci < 6 && !found; ++ci) {
+    const int64_t bn = kCandidates[ci];
+    if (bn % block_multiple) continue;
+    const int64_t nb = (n + bn - 1) / bn;
+    int64_t wsize = 0;
+    for (int64_t blk = 0; blk < bn; ++blk) {
+      int64_t lo = nct, hi = -1;
+      const int64_t r0 = blk * nb, r1 = std::min(n, (blk + 1) * nb);
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t k = 0; k < maxdeg; ++k) {
+          const int32_t x = inc[r * maxdeg + k];
+          if (x >= 0) { lo = std::min<int64_t>(lo, x);
+                        hi = std::max<int64_t>(hi, x); }
+        }
+      if (hi < 0) { lo = 0; hi = 0; }   // empty block
+      wsize = std::max<int64_t>(wsize, hi - lo + 1);
+    }
+    if (wsize <= window_limit) {
+      plan[3] = bn; plan[4] = nb; plan[5] = std::min<int64_t>(wsize, nct);
+      found = true;
+    }
+  }
+  if (!found) return 1;
+
+  // ---- recompute backward: node blocks -> element windows
+  plan[10] = 0;
+  for (int ci = 0; ci < 6; ++ci) {
+    const int64_t br = kCandidates[ci];
+    if (br % block_multiple) continue;
+    const int64_t nbr = (n + br - 1) / br;
+    int64_t ew = 0;
+    std::vector<int64_t> emins(br), emaxs(br);
+    for (int64_t blk = 0; blk < br; ++blk) {
+      int64_t lo = ne, hi = -1;
+      const int64_t r0 = blk * nbr, r1 = std::min(n, (blk + 1) * nbr);
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t k = 0; k < maxdeg; ++k) {
+          const int32_t x = inc[r * maxdeg + k];
+          if (x >= 0) { lo = std::min<int64_t>(lo, x / 3);
+                        hi = std::max<int64_t>(hi, x / 3); }
+        }
+      if (hi < 0) { lo = 0; hi = 0; }
+      emins[blk] = lo; emaxs[blk] = hi;
+      ew = std::max<int64_t>(ew, hi - lo + 1);
+    }
+    if (3 * ew > window_limit) continue;
+    ew = std::min(ew, ne);
+    int64_t wn = 0;
+    for (int64_t blk = 0; blk < br; ++blk) {
+      const int64_t s = std::min(emins[blk], ne - ew);
+      int32_t lo = INT32_MAX, hi = INT32_MIN;
+      for (int64_t e = s; e < s + ew; ++e)
+        for (int v = 0; v < 3; ++v) {
+          const int32_t x = conn[e * 3 + v];
+          lo = std::min(lo, x); hi = std::max(hi, x);
+        }
+      wn = std::max<int64_t>(wn, (int64_t)hi - lo + 1);
+    }
+    if (wn > window_limit) continue;
+    plan[6] = br; plan[7] = nbr; plan[8] = ew;
+    plan[9] = std::min<int64_t>(wn, n);
+    plan[10] = 1;
+    break;
+  }
+  return 0;
+}
+
+int hdnn_banded_fill(const int32_t* conn, int64_t ne,
+                     const int32_t* inc, int64_t n, int64_t maxdeg,
+                     const int64_t* plan,
+                     int32_t* starts, int32_t* conn_rel,
+                     int32_t* ct_starts, int32_t* inc_rel,
+                     int32_t* re_nstarts, int32_t* re_estarts,
+                     int32_t* re_conn_rel, int32_t* re_inc_rel) {
+  const int64_t b = plan[0], eb = plan[1], wnode = plan[2];
+  const int64_t bn = plan[3], nb = plan[4], wct = plan[5];
+  const int64_t nct = ne * 3;
+  const int32_t padval = conn[(ne - 1) * 3];
+
+  // forward tables
+  for (int64_t blk = 0; blk < b; ++blk) {
+    int32_t lo = INT32_MAX;
+    const int64_t e0 = blk * eb, e1 = std::min(ne, (blk + 1) * eb);
+    for (int64_t e = e0; e < e1; ++e)
+      for (int v = 0; v < 3; ++v) lo = std::min(lo, conn[e * 3 + v]);
+    if (e1 < (blk + 1) * eb) lo = std::min(lo, padval);
+    if (e0 >= ne) lo = padval;
+    const int32_t s =
+        std::min<int64_t>(lo, n - wnode) < 0
+            ? 0 : (int32_t)std::min<int64_t>(lo, n - wnode);
+    starts[blk] = s;
+    int64_t out = blk * eb * 3;
+    for (int64_t e = e0; e < e1; ++e)
+      for (int v = 0; v < 3; ++v)
+        conn_rel[out++] = conn[e * 3 + v] - s;
+    for (int64_t e = std::max(e0, e1); e < (blk + 1) * eb; ++e)
+      for (int v = 0; v < 3; ++v)
+        conn_rel[out++] = padval - s;
+  }
+
+  // backward (cotangent-window) tables
+  for (int64_t blk = 0; blk < bn; ++blk) {
+    int64_t lo = nct, hi = -1;
+    const int64_t r0 = blk * nb, r1 = std::min(n, (blk + 1) * nb);
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t k = 0; k < maxdeg; ++k) {
+        const int32_t x = inc[r * maxdeg + k];
+        if (x >= 0) { lo = std::min<int64_t>(lo, x);
+                      hi = std::max<int64_t>(hi, x); }
+      }
+    if (hi < 0) lo = 0;
+    const int64_t s = std::min(lo, nct - wct);
+    ct_starts[blk] = (int32_t)s;
+    int64_t out = blk * nb * maxdeg;
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t k = 0; k < maxdeg; ++k) {
+        const int32_t x = inc[r * maxdeg + k];
+        inc_rel[out++] = x >= 0 ? (int32_t)(x - s) : (int32_t)wct;
+      }
+    for (int64_t r = std::max(r0, r1); r < (blk + 1) * nb; ++r)
+      for (int64_t k = 0; k < maxdeg; ++k) inc_rel[out++] = (int32_t)wct;
+  }
+
+  // recompute-backward tables
+  if (plan[10]) {
+    const int64_t br = plan[6], nbr = plan[7], ew = plan[8], wn = plan[9];
+    for (int64_t blk = 0; blk < br; ++blk) {
+      int64_t lo = ne, hi = -1;
+      const int64_t r0 = blk * nbr, r1 = std::min(n, (blk + 1) * nbr);
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t k = 0; k < maxdeg; ++k) {
+          const int32_t x = inc[r * maxdeg + k];
+          if (x >= 0) { lo = std::min<int64_t>(lo, x / 3);
+                        hi = std::max<int64_t>(hi, x / 3); }
+        }
+      if (hi < 0) lo = 0;
+      const int64_t es = std::min(lo, ne - ew);
+      re_estarts[blk] = (int32_t)es;
+      int32_t nlo = INT32_MAX;
+      for (int64_t e = es; e < es + ew; ++e)
+        for (int v = 0; v < 3; ++v) nlo = std::min(nlo, conn[e * 3 + v]);
+      const int64_t ns = std::min<int64_t>(nlo, n - wn);
+      re_nstarts[blk] = (int32_t)ns;
+      int64_t out = blk * ew * 3;
+      for (int64_t e = es; e < es + ew; ++e)
+        for (int v = 0; v < 3; ++v)
+          re_conn_rel[out++] = (int32_t)(conn[e * 3 + v] - ns);
+      out = blk * nbr * maxdeg;
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t k = 0; k < maxdeg; ++k) {
+          const int32_t x = inc[r * maxdeg + k];
+          re_inc_rel[out++] =
+              x >= 0 ? (int32_t)(x - 3 * es) : (int32_t)(3 * ew);
+        }
+      for (int64_t r = std::max(r0, r1); r < (blk + 1) * nbr; ++r)
+        for (int64_t k = 0; k < maxdeg; ++k)
+          re_inc_rel[out++] = (int32_t)(3 * ew);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 __all__ = ["available", "build", "unique_edges", "build_incidence_table",
-           "outside_holes"]
+           "outside_holes", "structured_cells", "banded_tables"]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -46,6 +46,9 @@ def _load():
             lib.hdnn_node_degrees.restype = ctypes.c_int
             lib.hdnn_incidence.restype = ctypes.c_int
             lib.hdnn_outside_holes.restype = ctypes.c_int
+            lib.hdnn_structured_cells.restype = ctypes.c_int
+            lib.hdnn_banded_plan.restype = ctypes.c_int
+            lib.hdnn_banded_fill.restype = ctypes.c_int
             _lib = lib
         except OSError:
             _lib = None
@@ -130,6 +133,75 @@ def outside_holes(points: np.ndarray, holes) -> np.ndarray:
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     assert rc == 0
     return keep.astype(bool)
+
+
+def structured_cells(nx: int, ny: int, variant: str = "zigzag"
+                     ) -> np.ndarray:
+    """Native structured triangulation; same interleaved order as
+    ``structured.rectangle_tri_zigzag`` (int32 cells)."""
+    lib = _load()
+    v = {"up": 0, "down": 1, "zigzag": 2}[variant]
+    cells = np.empty((2 * (nx - 1) * (ny - 1), 3), dtype=np.int32)
+    rc = lib.hdnn_structured_cells(
+        ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int(v),
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert rc == 0
+    return cells
+
+
+def banded_tables(connectivity: np.ndarray, n_nodes: int,
+                  incidence: np.ndarray, window_limit: int,
+                  block_multiple: int = 1):
+    """Native banded-assembly build: same plan + tables as the numpy
+    ``mesh.banded.build_banded_assembly`` internals.
+
+    Returns None if not bandable, else a dict with the fwd/bwd/recompute
+    arrays and static sizes (recompute keys absent if those tables do not
+    fit the window limit).
+    """
+    lib = _load()
+    conn = _as_i32(connectivity)
+    inc = _as_i32(incidence)
+    ne = conn.shape[0]
+    maxdeg = inc.shape[1]
+    plan = np.zeros(12, dtype=np.int64)
+    c_i64 = ctypes.c_int64
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.hdnn_banded_plan(
+        i32p(conn), c_i64(ne), i32p(inc), c_i64(n_nodes), c_i64(maxdeg),
+        c_i64(window_limit), c_i64(block_multiple),
+        plan.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    b, eb, wnode, bn, nb, wct, br, nbr, ew, wn, has_re, _ = (
+        int(x) for x in plan)
+    starts = np.empty(b, np.int32)
+    conn_rel = np.empty((b, eb, 3), np.int32)
+    ct_starts = np.empty(bn, np.int32)
+    inc_rel = np.empty((bn, nb, maxdeg), np.int32)
+    if has_re:
+        re_nstarts = np.empty(br, np.int32)
+        re_estarts = np.empty(br, np.int32)
+        re_conn_rel = np.empty((br, ew, 3), np.int32)
+        re_inc_rel = np.empty((br, nbr, maxdeg), np.int32)
+    else:
+        re_nstarts = re_estarts = np.empty(0, np.int32)
+        re_conn_rel = np.empty((0, 1, 3), np.int32)
+        re_inc_rel = np.empty((0, 1, maxdeg), np.int32)
+    rc = lib.hdnn_banded_fill(
+        i32p(conn), c_i64(ne), i32p(inc), c_i64(n_nodes), c_i64(maxdeg),
+        plan.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i32p(starts), i32p(conn_rel), i32p(ct_starts), i32p(inc_rel),
+        i32p(re_nstarts), i32p(re_estarts), i32p(re_conn_rel),
+        i32p(re_inc_rel))
+    assert rc == 0
+    out = dict(starts=starts, conn_rel=conn_rel, ct_starts=ct_starts,
+               inc_rel=inc_rel, wnode=wnode, wct=wct)
+    if has_re:
+        out.update(re_nstarts=re_nstarts, re_estarts=re_estarts,
+                   re_conn_rel=re_conn_rel, re_inc_rel=re_inc_rel,
+                   re_wnode=wn, re_ew=ew)
+    return out
 
 
 if __name__ == "__main__":

@@ -48,6 +48,10 @@ def rectangle_tri_zigzag(nx: int, ny: int, length: float, height: float,
     xv, yv = np.meshgrid(xs, ys, indexing="ij")
     points = np.stack([xv.ravel(), yv.ravel()], axis=1)  # idx = i*ny + j
 
+    from . import native
+    if variant in ("up", "down", "zigzag") and native.available():
+        return points, native.structured_cells(nx, ny, variant)
+
     i, j = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="ij")
     i = i.ravel()
     j = j.ravel()
