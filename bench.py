@@ -19,7 +19,10 @@ which are large on tunneled devices) — the same shape as the production
 drivers in ``hidenn_fem_tpu/solve/drivers.py``, which run whole solves as
 one on-device program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with an
+"extra" dict carrying the large-scale rows (922K-element banded fwd+bwd
+ms/step and the gather-free structured path µs/step) so regressions at
+scale are visible round-over-round, not just the 6.4K headline.
 """
 
 import json
@@ -29,10 +32,7 @@ import jax
 BASELINE_QP_PER_S = 8.36e5  # measured reference, BASELINE.md row 3
 
 
-def main():
-    import hidenn_fem_tpu as ht
-    from hidenn_fem_tpu.utils.profiling import slope_time_scan
-
+def bench_6k(ht, slope_time_scan):
     mesh = ht.proxy_plate_mesh(nx=81, ny=41)       # 6,400 elements
     model = ht.TriangleP1()
     params = model.init(jax.random.PRNGKey(0), mesh)
@@ -47,12 +47,66 @@ def main():
         return (p, m), val
 
     dt = slope_time_scan(step, (params, mesh), n1=50, n2=550)
-    qp_per_s = n_qp / dt
+    return n_qp / dt
+
+
+def bench_922k_banded(ht, slope_time_scan):
+    mesh = ht.proxy_plate_mesh(nx=961, ny=481)     # 921,600 elements
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def step(carry):
+        p, m = carry
+        val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
+        p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
+        return (p, m), val
+
+    return slope_time_scan(step, (params, mesh), n1=10, n2=110)
+
+
+def bench_922k_structured(ht, slope_time_scan):
+    from hidenn_fem_tpu.models.structured_grid import (
+        StructuredGridP1, generate_structured_grid)
+    grid = generate_structured_grid(length=2.0, height=1.0, holes=(),
+                                    nx=961, ny=481)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+
+    def step(carry):
+        p, g = carry
+        val, grads = jax.value_and_grad(lambda q: model(q, g))(p)
+        p = jax.tree.map(lambda x, gr: x - 1e-15 * gr, p, grads)
+        return (p, g), val
+
+    return slope_time_scan(step, (params, grid), n1=50, n2=550)
+
+
+def main():
+    import hidenn_fem_tpu as ht
+    from hidenn_fem_tpu.utils.profiling import slope_time_scan
+
+    qp_per_s = bench_6k(ht, slope_time_scan)
+    extra = {}
+    try:
+        dt_banded = bench_922k_banded(ht, slope_time_scan)
+        extra["banded_922k_ms_per_step_fwd_bwd"] = float(
+            f"{dt_banded * 1e3:.4g}")
+    except Exception as e:        # keep the headline alive regardless
+        extra["banded_922k_error"] = repr(e)[:200]
+    try:
+        dt_sg = bench_922k_structured(ht, slope_time_scan)
+        extra["structured_922k_us_per_step_fwd_bwd"] = float(
+            f"{dt_sg * 1e6:.4g}")
+    except Exception as e:
+        extra["structured_922k_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": "quadrature_point_evals_per_sec_fwd_bwd",
         "value": float(f"{qp_per_s:.4g}"),
         "unit": "qp/s",
         "vs_baseline": float(f"{qp_per_s / BASELINE_QP_PER_S:.4g}"),
+        "extra": extra,
     }))
 
 
