@@ -81,6 +81,15 @@ class TriMesh:
     # (mesh/banded.py): keeps every assembly gather below the TPU's
     # ~256K-row table cliff.  Auto-built by from_arrays for big meshes.
     banded: Optional[object] = None
+    # Optional fused domain+edge tables (ops/pallas_energy.py 13-row
+    # kernel): connectivity with Neumann edges appended as (n0, n1, n1)
+    # pseudo-elements, and the incidence table over THAT augmented flat
+    # row space — so traction work rides the element gather/kernel and
+    # its cotangents flow through the same incidence backward.  Built by
+    # from_arrays whenever edges exist; None disables the fused-total
+    # path.
+    fused_connectivity: Optional[jax.Array] = None
+    fused_incidence: Optional[jax.Array] = None
 
     @property
     def n_nodes(self) -> int:
@@ -128,6 +137,15 @@ class TriMesh:
             from .banded import build_banded_assembly
             banded = build_banded_assembly(conn_np, n, inc_np)
 
+        edges_np = np.asarray(neumann_edges)
+        fused_conn = fused_inc = None
+        if build_incidence and conn_np.size and edges_np.size:
+            edge_tri = np.concatenate(
+                [edges_np, edges_np[:, 1:2]], axis=1)     # (n0, n1, n1)
+            fused_conn = np.concatenate(
+                [conn_np, edge_tri]).astype(np.int32)
+            fused_inc = build_incidence_table(fused_conn, n)
+
         return cls(
             coords=coords,
             connectivity=jnp.asarray(conn_np, dtype=jnp.int32),
@@ -138,6 +156,10 @@ class TriMesh:
                                       dtype=jnp.int32),
             incidence=jnp.asarray(inc_np) if inc_np is not None else None,
             banded=banded,
+            fused_connectivity=(jnp.asarray(fused_conn)
+                                if fused_conn is not None else None),
+            fused_incidence=(jnp.asarray(fused_inc)
+                             if fused_inc is not None else None),
         )
 
     def astuple(self):

@@ -163,6 +163,13 @@ class PlaneStressEnergy:
     # guard against r-adaptive element collapse the reference hints at
     # (examples/example4.py:107)
     mesh_penalty_weight: float = 0.0
+    # Fold the Neumann traction work into the element gather/kernel
+    # (edges as (n0,n1,n1) pseudo-element columns masked by iota; see
+    # _fused_total).  Equality-tested, but measured net-SLOWER on v5e at
+    # 6.4K elements (119 vs 101 µs/step) despite fewer launched kernels —
+    # the step is bound by the ~0.5 rows/cycle gather rate and the extra
+    # edge columns ride the critical gathers — so it stays opt-in.
+    fuse_edges: bool = False
 
     def __post_init__(self):
         if self.assembly not in ("fused", "quadrature"):
@@ -366,11 +373,49 @@ class PlaneStressEnergy:
         return jnp.sum(jnp.sum(u_edge * t, axis=1) * wq * ds)
 
     # -------------------------------------------------------------- total
+    def _fused_total(self, params, mesh: TriMesh):
+        """Domain + edge energy in ONE gather and ONE Pallas kernel, or
+        None when the configuration can't use it.
+
+        Neumann edges ride the element pipeline as (n0, n1, n1)
+        pseudo-elements (``mesh.fused_connectivity``) with a 13th
+        traction-weight row; their cotangents flow through the same
+        incidence-gather backward.  Saves the entire separate edge
+        subgraph (~8 µs/step of kernel-launch overhead at 6.4K elements,
+        where the step is launch-bound).
+        """
+        backend = self._resolve_backend()
+        if (not self.fuse_edges
+                or self.assembly != "fused" or self.compat != "exact"
+                or self.traction is not None or self.body_force is not None
+                or self.model.dim_u != 2
+                or mesh.fused_connectivity is None
+                or mesh.banded is not None
+                or backend not in ("pallas", "pallas_interpret")):
+            return None
+        from .assembly import gather_with_incidence
+        from .pallas_energy import element_energy_pallas
+        node = self.model.packed_nodes(params, mesh)
+        g = gather_with_incidence(node, mesh.fused_connectivity,
+                                  mesh.fused_incidence)
+        n_rows = g.shape[0]
+        gT = g.reshape(n_rows, 12).T
+        # total = domain - traction work, hence the negative edge weight;
+        # edge columns are the static suffix [n_elements, n_rows) so the
+        # kernel applies the term by iota mask — no extra rows, no copies
+        t_x = self.F_total / self.traction_length
+        w_sum = quad.triangle_weight_sum(self.gauss_order)
+        return element_energy_pallas(gT, float(self.E), float(self.nu),
+                                     w_sum, backend == "pallas_interpret",
+                                     mesh.n_elements, -float(t_x))
+
     def total(self, params, mesh: TriMesh) -> jax.Array:
         """Total potential = domain - edge (``src/loss.py:113-116``),
         plus the optional mesh-quality regularization."""
-        e = self.domain_energy(params, mesh) - self.edge_energy(params,
-                                                                mesh)
+        e = self._fused_total(params, mesh)
+        if e is None:
+            e = self.domain_energy(params, mesh) - self.edge_energy(
+                params, mesh)
         if self.mesh_penalty_weight:
             e = e + self.mesh_penalty_weight * mesh_quality_penalty(
                 self.model, params, mesh)

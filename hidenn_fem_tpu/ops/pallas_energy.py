@@ -48,9 +48,21 @@ _BLOCK = 2048      # elements per kernel block (lane-major)
 _EPS_DET = 1e-12
 
 
-def _block_energy(g, E, nu, w_sum):
+def _block_energy(g, E, nu, w_sum, edge_start=None, tw=0.0, col0=0):
     """Scalar energy of one [ROWS, B] block (pure JAX; used by both the
-    forward kernel and, via jax.grad, the backward kernel)."""
+    forward kernel and, via jax.grad, the backward kernel).
+
+    With ``edge_start`` set, columns at global index >= edge_start are
+    Neumann EDGE pseudo-elements (n0, n1, n1) appended after the real
+    elements (``mesh.fused_connectivity``): they contribute
+    tw * ds * (u0x + u1x)/2 — the analytic uniform-traction edge work
+    (``/root/reference/src/loss.py:91-110``) with tw = -t_x so that
+    total = domain - traction work.  The degenerate triangle has
+    det == 0, so an edge column's elastic term vanishes exactly, and the
+    iota mask keeps real elements out of the traction term — domain and
+    edge energies ride ONE gather and ONE kernel with no extra rows.
+    ``col0`` is the block's global column offset (program_id * BLOCK).
+    """
     f = E / (1.0 - nu ** 2)
     ax = g[0] - g[8]
     ay = g[1] - g[9]
@@ -69,23 +81,40 @@ def _block_energy(g, E, nu, w_sum):
     gxy = ((by * d0y - ay * d1y) + (-bx * d0x + ax * d1x)) * inv
     dens = 0.5 * (f * (exx * exx + eyy * eyy + 2.0 * nu * exx * eyy)
                   + f * (1.0 - nu) / 2.0 * gxy * gxy)
-    return w_sum * jnp.sum(jnp.abs(det) * dens)
+    total = w_sum * jnp.sum(jnp.abs(det) * dens)
+    if edge_start is not None:
+        cols = col0 + jax.lax.iota(jnp.int32, g.shape[1])
+        sx = g[0] - g[4]
+        sy2 = g[1] - g[5]
+        # clamped below so d(sqrt)/dz stays finite on zero-padded columns
+        ds = jnp.sqrt(jnp.maximum(sx * sx + sy2 * sy2, 1e-30))
+        work = jnp.where(cols >= edge_start,
+                         ds * 0.5 * (g[2] + g[6]), 0.0)
+        total = total + tw * jnp.sum(work)
+    return total
 
 
-def _fwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
+def _fwd_kernel(g_ref, out_ref, *, E, nu, w_sum, edge_start=None,
+                tw=0.0):
     # TPU grid iterations are sequential: accumulate every block's partial
     # energy into the single (1, 1) output
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[0, 0] = jnp.zeros((), out_ref.dtype)
 
-    out_ref[0, 0] += _block_energy(g_ref[...], E, nu, w_sum)
+    col0 = pl.program_id(0) * g_ref.shape[1]
+    out_ref[0, 0] += _block_energy(g_ref[...], E, nu, w_sum,
+                                   edge_start, tw, col0)
 
 
-def _bwd_kernel(ct_ref, g_ref, out_ref, *, E, nu, w_sum):
+def _bwd_kernel(ct_ref, g_ref, out_ref, *, E, nu, w_sum, edge_start=None,
+                tw=0.0):
     # d(block energy)/d(g) via AD inside the kernel, scaled by the
     # upstream scalar cotangent (SMEM)
-    grad = jax.grad(lambda g: _block_energy(g, E, nu, w_sum))(g_ref[...])
+    col0 = pl.program_id(0) * g_ref.shape[1]
+    grad = jax.grad(lambda g: _block_energy(g, E, nu, w_sum,
+                                            edge_start, tw, col0))(
+        g_ref[...])
     out_ref[...] = grad * ct_ref[0, 0]
 
 
@@ -97,23 +126,30 @@ def _pad_cols(gT, block):
     return gT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def element_energy_pallas(gT, E, nu, w_sum, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def element_energy_pallas(gT, E, nu, w_sum, interpret=False,
+                          edge_start=None, tw=0.0):
     """Total elastic energy from transposed gathered nodes gT [12, Ne].
+
+    With ``edge_start``/``tw`` set, columns >= edge_start are Neumann
+    edge pseudo-elements contributing tw * ds * (u0x+u1x)/2 (the fused
+    domain+edge total; see ``_block_energy``).
 
     ``interpret=True`` runs the kernels in the Pallas interpreter
     (CPU-testable, bit-matching semantics).
     """
-    return _forward(gT, E, nu, w_sum, interpret)
+    return _forward(gT, E, nu, w_sum, interpret, edge_start, tw)
 
 
-def _forward(gT, E, nu, w_sum, interpret):
+def _forward(gT, E, nu, w_sum, interpret, edge_start=None, tw=0.0):
     gT = _pad_cols(gT, _BLOCK)
     nb = gT.shape[1] // _BLOCK
+    rows = gT.shape[0]
     total = pl.pallas_call(
-        functools.partial(_fwd_kernel, E=E, nu=nu, w_sum=w_sum),
+        functools.partial(_fwd_kernel, E=E, nu=nu, w_sum=w_sum,
+                          edge_start=edge_start, tw=tw),
         grid=(nb,),
-        in_specs=[pl.BlockSpec((ROWS, _BLOCK), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((rows, _BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -123,25 +159,27 @@ def _forward(gT, E, nu, w_sum, interpret):
     return total[0, 0]
 
 
-def _fwd_rule(gT, E, nu, w_sum, interpret):
-    return _forward(gT, E, nu, w_sum, interpret), gT
+def _fwd_rule(gT, E, nu, w_sum, interpret, edge_start=None, tw=0.0):
+    return _forward(gT, E, nu, w_sum, interpret, edge_start, tw), gT
 
 
-def _bwd_rule(E, nu, w_sum, interpret, gT, ct):
+def _bwd_rule(E, nu, w_sum, interpret, edge_start, tw, gT, ct):
     ne = gT.shape[1]
     gTp = _pad_cols(gT, _BLOCK)
     nb = gTp.shape[1] // _BLOCK
+    rows = gTp.shape[0]
     ct_arr = jnp.full((1, 1), ct, dtype=gT.dtype)
     cot = pl.pallas_call(
-        functools.partial(_bwd_kernel, E=E, nu=nu, w_sum=w_sum),
+        functools.partial(_bwd_kernel, E=E, nu=nu, w_sum=w_sum,
+                          edge_start=edge_start, tw=tw),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS, _BLOCK), lambda i: (0, i),
+            pl.BlockSpec((rows, _BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, _BLOCK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((rows, _BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(gTp.shape, gT.dtype),
         interpret=interpret,

@@ -97,6 +97,8 @@ def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
         neumann_edges=elem,
         incidence=None,
         banded=None,
+        fused_connectivity=None,
+        fused_incidence=None,
     )
 
 
@@ -109,7 +111,9 @@ def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     for scalar reductions.
     """
     tri = dataclasses.replace(pad_mesh(tri, dmesh.devices.size),
-                              incidence=None, banded=None)
+                              incidence=None, banded=None,
+                              fused_connectivity=None,
+                              fused_incidence=None)
     shardings = mesh_shardings(dmesh, axis)
     return jax.tree.map(jax.device_put, tri, shardings)
 
@@ -134,7 +138,8 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
     in_specs = (P(), TriMesh(
         coords=P(), connectivity=P(axis), geom_boundary_mask=P(),
         dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis),
-        incidence=None, banded=None))
+        incidence=None, banded=None,
+        fused_connectivity=None, fused_incidence=None))
 
     def per_device(params, tri):
         dom = energy.domain_energy(params, tri)
@@ -148,7 +153,9 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         # incidence/banded are derived single-device assembly tables; the
         # scatter-AD + psum path owns gradient reduction under sharding
         return fn(params, dataclasses.replace(tri, incidence=None,
-                                              banded=None))
+                                              banded=None,
+                                              fused_connectivity=None,
+                                              fused_incidence=None))
 
     return loss_fn
 
