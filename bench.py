@@ -40,13 +40,12 @@ def bench_6k(ht, slope_time_scan):
                                   gauss_order=4)
     n_qp = mesh.n_elements * 4                     # 25,600
 
-    def step(carry):
-        p, m = carry
+    def step(p, m):
         val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
-        return (p, m), val
+        return p, val
 
-    dt = slope_time_scan(step, (params, mesh), n1=50, n2=550)
+    dt = slope_time_scan(step, params, n1=50, n2=550, args=(mesh,))
     return n_qp / dt
 
 
@@ -56,13 +55,12 @@ def bench_922k_banded(ht, slope_time_scan):
     params = model.init(jax.random.PRNGKey(0), mesh)
     energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
 
-    def step(carry):
-        p, m = carry
+    def step(p, m):
         val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
-        return (p, m), val
+        return p, val
 
-    return slope_time_scan(step, (params, mesh), n1=10, n2=110)
+    return slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
 
 
 def bench_922k_structured(ht, slope_time_scan):
@@ -73,13 +71,12 @@ def bench_922k_structured(ht, slope_time_scan):
     model = StructuredGridP1(E=10e9, nu=0.3)
     params = model.init(jax.random.PRNGKey(0), grid)
 
-    def step(carry):
-        p, g = carry
+    def step(p, g):
         val, grads = jax.value_and_grad(lambda q: model(q, g))(p)
         p = jax.tree.map(lambda x, gr: x - 1e-15 * gr, p, grads)
-        return (p, g), val
+        return p, val
 
-    return slope_time_scan(step, (params, grid), n1=50, n2=550)
+    return slope_time_scan(step, params, n1=50, n2=550, args=(grid,))
 
 
 def main():

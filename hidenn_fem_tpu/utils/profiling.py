@@ -57,36 +57,44 @@ def sync_time(fn: Callable, *args, repeats: int = 3) -> float:
 
 
 def slope_time_scan(step_fn: Callable, init, n1: int = 50, n2: int = 550,
-                    repeats: int = 3) -> float:
+                    repeats: int = 3, args: tuple = ()) -> float:
     """True per-iteration device time of ``step_fn`` via slope timing.
 
     Builds two jitted programs scanning ``step_fn`` n1 and n2 times and
     returns (t2 - t1) / (n2 - n1): fixed per-call costs (dispatch, compile
     cache lookup, host<->device transfer latency) cancel exactly.
 
-    ``step_fn(carry) -> (carry, scalar)``; the final scalar is fetched to
-    defeat lazy/async execution.
+    ``step_fn(carry, *args) -> (carry, scalar)``; the final scalar is
+    fetched to defeat lazy/async execution.
+
+    Pass loop-INVARIANT data (meshes, tables) via ``args``, NOT inside
+    the carry: they become operands of the jitted program that the scan
+    body closes over — exactly the production drivers' shape
+    (``solve/drivers.py`` ``loss_args``).  Measured on v5e: invariant
+    arrays threaded through the scan carry instead get copied every
+    iteration (~15 µs/step for a 6.4K-element mesh's tables, ~ms at
+    922K), silently inflating per-step numbers.
     """
 
     def make(iters):
         @jax.jit
-        def run(c):
+        def run(c, *a):
             def body(cc, _):
-                cc, val = step_fn(cc)
+                cc, val = step_fn(cc, *a)
                 return cc, val
             _, vals = jax.lax.scan(body, c, length=iters)
             return vals[-1]
         return run
 
     r1, r2 = make(n1), make(n2)
-    float(r1(init))
-    float(r2(init))
+    float(r1(init, *args))
+    float(r2(init, *args))
 
     def t(r):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(r(init))
+            float(r(init, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
