@@ -114,10 +114,14 @@ def banded_element_energy(node, ba, E, nu, w_sum, interpret):
                                jnp.zeros((), jnp.int32))
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _banded_energy_rows(node, ba, E, nu, w_sum, interpret, row_start):
     """banded_element_energy with the backward's node rows placed at
-    global row ``row_start`` (shard_map per-device offset)."""
+    global row ``row_start`` (shard_map per-device offset).
+
+    E/nu/w_sum/interpret are nondiff (static Python scalars): they feed
+    the Pallas kernels via closure, and a traced f32[] there is a
+    captured-constant error under shard_map-in-jit."""
     return _forward(node, ba, E, nu, w_sum, interpret)
 
 
@@ -204,19 +208,19 @@ def _two_pass_bwd(node, ba, E, nu, w_sum, interpret, ct):
 
 
 def _make_bwd():
-    def bwd(res, ct):
-        node, ba, E, nu, w_sum, interpret, row_start = res
+    def bwd(E, nu, w_sum, interpret, res, ct):
+        node, ba, row_start = res
         if ba.re_conn_rel is not None:
             grad_node = _recompute_bwd(node, ba, E, nu, w_sum, interpret,
                                        ct, row_start)
         else:
             grad_node = _two_pass_bwd(node, ba, E, nu, w_sum, interpret,
                                       ct)
-        return grad_node, None, None, None, None, None, None
+        return grad_node, None, None
 
     def fwd(node, ba, E, nu, w_sum, interpret, row_start):
         value = _forward(node, ba, E, nu, w_sum, interpret)
-        return value, (node, ba, E, nu, w_sum, interpret, row_start)
+        return value, (node, ba, row_start)
 
     return fwd, bwd
 

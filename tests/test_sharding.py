@@ -125,3 +125,10 @@ def test_edge_padding_degenerate_zero(setup):
     w0 = float(energy.edge_energy(params, mesh))
     w1 = float(energy.edge_energy(params, padded))
     assert np.isclose(w0, w1, rtol=1e-6)
+
+
+def test_example7_sharded_small(eight_devices):
+    from examples import example7_sharded
+    params, losses = example7_sharded.main(nx=33, ny=17, n_devices=8,
+                                           lbfgs_steps=40)
+    assert np.all(np.isfinite(np.asarray(losses)))
