@@ -65,6 +65,13 @@ class BandedAssembly:
       re_inc_rel:  [Br, NBr, maxdeg] int32 — flat (e_rel*3 + v) indices
         into the block's recomputed [EW*3, F] cotangents; unused slots
         hold 3*EW (a zeros row appended in-block).
+      re_own_lo/re_own_hi: [Br] int32 — window-relative element ownership
+        interval per node block: the owned half-open column ranges
+        partition [0, Ne) across blocks, so the single-pass
+        value-and-grad backward can accumulate each element's energy
+        exactly once while elements on block seams (halo) are still
+        recomputed for their cotangents.  None when the element windows
+        don't tile [0, Ne) in order (falls back to forward-scan energy).
     """
 
     starts: jax.Array
@@ -75,6 +82,8 @@ class BandedAssembly:
     re_estarts: Optional[jax.Array] = None
     re_conn_rel: Optional[jax.Array] = None
     re_inc_rel: Optional[jax.Array] = None
+    re_own_lo: Optional[jax.Array] = None
+    re_own_hi: Optional[jax.Array] = None
     # static window sizes (pytree metadata, not leaves)
     wnode: int = dataclasses.field(metadata=dict(static=True), default=0)
     wct: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -116,6 +125,10 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
                                  incidence, window_limit, block_multiple)
         if t is None:
             return None
+        if "re_estarts" in t:
+            own = _ownership_intervals(t["re_estarts"], t["re_ew"], ne)
+            if own is not None:
+                t["re_own_lo"], t["re_own_hi"] = own
         return BandedAssembly(
             **{k: (v if isinstance(v, int) else jnp.asarray(v))
                for k, v in t.items()})
@@ -193,6 +206,10 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
             re_wnode=re_wnode,
             re_ew=re_ew,
         )
+        own = _ownership_intervals(estarts, re_ew, ne)
+        if own is not None:
+            re_kwargs["re_own_lo"] = jnp.asarray(own[0])
+            re_kwargs["re_own_hi"] = jnp.asarray(own[1])
     return BandedAssembly(
         starts=jnp.asarray(starts),
         conn_rel=jnp.asarray(conn_rel),
@@ -251,6 +268,29 @@ def _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
         return (nstarts.astype(np.int32), estarts.astype(np.int32),
                 conn_rel, rel3, wn, ew)
     return None
+
+
+def _ownership_intervals(estarts, ew, ne):
+    """Window-relative element ownership intervals for the recompute node
+    blocks (see ``BandedAssembly`` docstring): greedy left-to-right
+    assignment so the owned ranges partition [0, ne).  Returns
+    (lo, hi) int32 arrays, or None when the element windows don't cover
+    [0, ne) in order (then the energy value must come from the forward
+    element scan, not the single-pass value-and-grad backward).
+    """
+    s = np.asarray(estarts, dtype=np.int64)
+    lo = np.empty(s.shape[0], np.int64)
+    hi = np.empty(s.shape[0], np.int64)
+    cur = 0
+    for i, si in enumerate(s):
+        if cur < si:       # gap: elements [cur, si) not in this window
+            return None
+        lo[i] = cur
+        cur = max(cur, min(si + ew, ne))
+        hi[i] = cur
+    if cur != ne:
+        return None
+    return ((lo - s).astype(np.int32), (hi - s).astype(np.int32))
 
 
 def reorder_mesh(mesh, build_banded="auto"):

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_energy import _block_energy, ROWS
+from .pallas_energy import _block_energy, _block_energy_lanes, ROWS
 
 __all__ = ["banded_element_energy"]
 
@@ -67,6 +67,29 @@ def _bwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
         lambda g: _block_energy(g, E, nu, w_sum))(g_ref[...])
 
 
+def _vg_kernel(own_ref, g_ref, e_ref, ct_ref, *, E, nu, w_sum):
+    """Energy of the OWNED columns + cotangents of ALL columns, one pass.
+
+    ``own_ref`` holds the node block's window-relative ownership interval
+    [lo, hi): owned column ranges partition the global element range, so
+    summing the masked energies over all node blocks counts every element
+    exactly once even though halo columns are recomputed in several
+    blocks (their cotangents are needed locally; their energy is not).
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
+
+    g = g_ref[...]
+    cols = (pl.program_id(0) * g.shape[1]
+            + jax.lax.iota(jnp.int32, g.shape[1]))
+    owned = (cols >= own_ref[0, 0]) & (cols < own_ref[0, 1])
+    lanes = _block_energy_lanes(g, E, nu, w_sum)
+    e_ref[0, 0] += jnp.sum(jnp.where(owned, lanes, 0.0))
+    ct_ref[...] = jax.grad(
+        lambda gg: _block_energy(gg, E, nu, w_sum))(g)
+
+
 def _pallas_fwd(gT, E, nu, w_sum, interpret):
     nb = gT.shape[1] // _BLK
     out = pl.pallas_call(
@@ -80,6 +103,34 @@ def _pallas_fwd(gT, E, nu, w_sum, interpret):
         interpret=interpret,
     )(gT)
     return out[0, 0]
+
+
+def _pallas_vg(gT, own, E, nu, w_sum, interpret):
+    """(owned-column energy, cotangents of all columns) in one kernel.
+    ``own`` is the [1, 2] int32 ownership interval (SMEM scalars)."""
+    nb = gT.shape[1] // _BLK
+    e, ct = pl.pallas_call(
+        functools.partial(_vg_kernel, E=E, nu=nu, w_sum=w_sum),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), gT.dtype),
+            jax.ShapeDtypeStruct(gT.shape, gT.dtype),
+        ],
+        interpret=interpret,
+    )(own, gT)
+    return e[0, 0], ct
 
 
 def _pallas_bwd(gT, E, nu, w_sum, interpret):
@@ -176,6 +227,41 @@ def _recompute_bwd(node, ba, E, nu, w_sum, interpret, ct, row_start):
     return buf[:n] * ct
 
 
+def _recompute_vg(node, ba, E, nu, w_sum, interpret, row_start):
+    """Value AND gradient rows in ONE node-block scan.
+
+    The recompute backward already regathers and rederives everything the
+    forward element scan computes, so when the recompute tables carry
+    ownership intervals (``re_own_lo/hi``) the whole forward scan can be
+    skipped under ``jax.value_and_grad``: the kernel emits each node
+    block's owned-element energy alongside the window cotangents, and the
+    masked partials sum to the exact total (each element owned by exactly
+    one block).  Returns (energy, unscaled grad rows placed at
+    ``row_start`` in a [N, F] buffer).
+    """
+    f = node.shape[-1]
+    n = node.shape[0]
+    wn, ew = ba.re_wnode, ba.re_ew
+    own = jnp.stack([ba.re_own_lo, ba.re_own_hi], axis=1)   # [Br, 2]
+
+    def body(_, inp):
+        conn_rel, ns, rel3, ow = inp
+        gT = _gather_block_T(node, conn_rel, ns, wn)        # [12, EWp]
+        part, cotT = _pallas_vg(gT, ow[None, :], E, nu, w_sum, interpret)
+        cot3 = cotT.T[:ew].reshape(ew * 3, f)
+        cot3 = jnp.concatenate(
+            [cot3, jnp.zeros((1, f), cot3.dtype)], axis=0)
+        g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
+        return None, (part, jnp.sum(g, axis=1))             # [NBr, F]
+
+    _, (parts, out) = jax.lax.scan(
+        body, None, (ba.re_conn_rel, ba.re_nstarts, ba.re_inc_rel, own))
+    rows = out.reshape(-1, f)                               # [Br*NBr, F]
+    buf = jnp.zeros((n + rows.shape[0], f), rows.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, rows, (row_start, 0))
+    return jnp.sum(parts), buf[:n]
+
+
 def _two_pass_bwd(node, ba, E, nu, w_sum, interpret, ct):
     """Fallback: emit cotangent blocks (element scan), then assemble per
     node block from windows of the flat cotangent array."""
@@ -209,7 +295,9 @@ def _two_pass_bwd(node, ba, E, nu, w_sum, interpret, ct):
 
 def _make_bwd():
     def bwd(E, nu, w_sum, interpret, res, ct):
-        node, ba, row_start = res
+        node, ba, row_start, grad_rows = res
+        if grad_rows is not None:
+            return grad_rows * ct, None, None
         if ba.re_conn_rel is not None:
             grad_node = _recompute_bwd(node, ba, E, nu, w_sum, interpret,
                                        ct, row_start)
@@ -219,8 +307,15 @@ def _make_bwd():
         return grad_node, None, None
 
     def fwd(node, ba, E, nu, w_sum, interpret, row_start):
+        if ba.re_conn_rel is not None and ba.re_own_lo is not None:
+            # single-pass value-and-grad: skip the forward element scan
+            # entirely (the recompute backward regathers everything the
+            # forward needs; see _recompute_vg)
+            value, grad_rows = _recompute_vg(node, ba, E, nu, w_sum,
+                                             interpret, row_start)
+            return value, (None, None, None, grad_rows)
         value = _forward(node, ba, E, nu, w_sum, interpret)
-        return value, (node, ba, row_start)
+        return value, (node, ba, row_start, None)
 
     return fwd, bwd
 

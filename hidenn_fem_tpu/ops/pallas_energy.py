@@ -48,21 +48,9 @@ _BLOCK = 2048      # elements per kernel block (lane-major)
 _EPS_DET = 1e-12
 
 
-def _block_energy(g, E, nu, w_sum, edge_start=None, tw=0.0, col0=0):
-    """Scalar energy of one [ROWS, B] block (pure JAX; used by both the
-    forward kernel and, via jax.grad, the backward kernel).
-
-    With ``edge_start`` set, columns at global index >= edge_start are
-    Neumann EDGE pseudo-elements (n0, n1, n1) appended after the real
-    elements (``mesh.fused_connectivity``): they contribute
-    tw * ds * (u0x + u1x)/2 — the analytic uniform-traction edge work
-    (``/root/reference/src/loss.py:91-110``) with tw = -t_x so that
-    total = domain - traction work.  The degenerate triangle has
-    det == 0, so an edge column's elastic term vanishes exactly, and the
-    iota mask keeps real elements out of the traction term — domain and
-    edge energies ride ONE gather and ONE kernel with no extra rows.
-    ``col0`` is the block's global column offset (program_id * BLOCK).
-    """
+def _block_energy_lanes(g, E, nu, w_sum):
+    """Per-element (per-lane) elastic energies of one [ROWS, B] block —
+    the docstring formula, before the block reduction."""
     f = E / (1.0 - nu ** 2)
     ax = g[0] - g[8]
     ay = g[1] - g[9]
@@ -81,7 +69,25 @@ def _block_energy(g, E, nu, w_sum, edge_start=None, tw=0.0, col0=0):
     gxy = ((by * d0y - ay * d1y) + (-bx * d0x + ax * d1x)) * inv
     dens = 0.5 * (f * (exx * exx + eyy * eyy + 2.0 * nu * exx * eyy)
                   + f * (1.0 - nu) / 2.0 * gxy * gxy)
-    total = w_sum * jnp.sum(jnp.abs(det) * dens)
+    return w_sum * jnp.abs(det) * dens
+
+
+def _block_energy(g, E, nu, w_sum, edge_start=None, tw=0.0, col0=0):
+    """Scalar energy of one [ROWS, B] block (pure JAX; used by both the
+    forward kernel and, via jax.grad, the backward kernel).
+
+    With ``edge_start`` set, columns at global index >= edge_start are
+    Neumann EDGE pseudo-elements (n0, n1, n1) appended after the real
+    elements (``mesh.fused_connectivity``): they contribute
+    tw * ds * (u0x + u1x)/2 — the analytic uniform-traction edge work
+    (``/root/reference/src/loss.py:91-110``) with tw = -t_x so that
+    total = domain - traction work.  The degenerate triangle has
+    det == 0, so an edge column's elastic term vanishes exactly, and the
+    iota mask keeps real elements out of the traction term — domain and
+    edge energies ride ONE gather and ONE kernel with no extra rows.
+    ``col0`` is the block's global column offset (program_id * BLOCK).
+    """
+    total = jnp.sum(_block_energy_lanes(g, E, nu, w_sum))
     if edge_start is not None:
         cols = col0 + jax.lax.iota(jnp.int32, g.shape[1])
         sx = g[0] - g[4]

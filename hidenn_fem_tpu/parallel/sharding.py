@@ -221,13 +221,18 @@ def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         nbr = ba.re_inc_rel.shape[1]
         rows_per_dev = (ba.re_nstarts.shape[0] // D) * nbr
         row_starts = jnp.arange(D, dtype=jnp.int32) * rows_per_dev
+        has_own = ba.re_own_lo is not None
+        own = (jnp.stack([ba.re_own_lo, ba.re_own_hi], axis=1) if has_own
+               else jnp.zeros((ba.re_nstarts.shape[0], 2), jnp.int32))
 
-        def body(node_rep, starts, conn_rel, re_ns, re_cr, re_ir, rs):
+        def body(node_rep, starts, conn_rel, re_ns, re_cr, re_ir, ow, rs):
             ba_loc = BandedAssembly(
                 starts=starts, conn_rel=conn_rel,
                 ct_starts=None, inc_rel=None,
                 re_nstarts=re_ns, re_estarts=None,
                 re_conn_rel=re_cr, re_inc_rel=re_ir,
+                re_own_lo=ow[:, 0] if has_own else None,
+                re_own_hi=ow[:, 1] if has_own else None,
                 wnode=ba.wnode, wct=0,
                 re_wnode=ba.re_wnode, re_ew=ba.re_ew)
             part = _banded_energy_rows(node_rep, ba_loc, E, nu, w_sum,
@@ -237,10 +242,10 @@ def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         fn = jax.shard_map(
             body, mesh=dmesh,
             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P(axis)),
+                      P(axis), P(axis)),
             out_specs=P(), check_vma=False)
         dom = fn(node, ba.starts, ba.conn_rel, ba.re_nstarts,
-                 ba.re_conn_rel, ba.re_inc_rel, row_starts)
+                 ba.re_conn_rel, ba.re_inc_rel, own, row_starts)
         return dom - energy.edge_energy(params, tri)
 
     return loss_fn

@@ -72,3 +72,58 @@ def test_banded_energy_body_force_falls_back(setup):
     v2 = float(e2.domain_energy(
         params, dataclasses.replace(mesh, banded=None)))
     assert np.isclose(v1, v2, rtol=1e-5)
+
+
+def test_banded_value_and_grad_single_pass(setup):
+    """Under value_and_grad the banded path runs the single-pass
+    recompute kernel (ownership-masked energy + cotangents in one scan);
+    both outputs must match the value-only call / the XLA gradient."""
+    mesh, model, params = setup
+    assert mesh.banded.re_own_lo is not None  # ownership tables built
+    e_bf = ht.PlaneStressEnergy(model=model, backend="pallas_interpret")
+    v_only = float(e_bf.domain_energy(params, mesh))
+    v_vg, g = jax.value_and_grad(
+        lambda p: e_bf.domain_energy(p, mesh))(params)
+    assert np.isclose(v_only, float(v_vg), rtol=1e-6), (v_only, v_vg)
+    g_ref = jax.grad(lambda p: ht.PlaneStressEnergy(
+        model=model, backend="xla").domain_energy(
+            p, dataclasses.replace(mesh, banded=None)))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g_ref[k]),
+                                   rtol=5e-4, atol=1e-9)
+
+
+def test_banded_no_ownership_falls_back(setup):
+    """Stripping the ownership intervals must route gradients through the
+    two-scan recompute backward with identical results."""
+    mesh, model, params = setup
+    ba = dataclasses.replace(mesh.banded, re_own_lo=None, re_own_hi=None)
+    mesh2 = dataclasses.replace(mesh, banded=ba)
+    e_bf = ht.PlaneStressEnergy(model=model, backend="pallas_interpret")
+    v1, g1 = jax.value_and_grad(
+        lambda p: e_bf.domain_energy(p, mesh))(params)
+    v2, g2 = jax.value_and_grad(
+        lambda p: e_bf.domain_energy(p, mesh2))(params)
+    assert np.isclose(float(v1), float(v2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-6, atol=1e-12)
+
+
+def test_ownership_intervals_partition():
+    """The ownership intervals partition [0, Ne): every element owned by
+    exactly one recompute node block."""
+    m = ht.proxy_plate_mesh(nx=41, ny=21)
+    ba = build_banded_assembly(np.asarray(m.connectivity), m.n_nodes,
+                               np.asarray(m.incidence), window_limit=400)
+    assert ba is not None and ba.re_own_lo is not None
+    est = np.asarray(ba.re_estarts, np.int64)
+    lo = est + np.asarray(ba.re_own_lo, np.int64)
+    hi = est + np.asarray(ba.re_own_hi, np.int64)
+    counts = np.zeros(m.n_elements, np.int64)
+    for a, b in zip(lo, hi):
+        counts[a:b] += 1
+    assert np.all(counts == 1)
+    # owned columns lie inside each block's element window
+    assert np.all(np.asarray(ba.re_own_lo) >= 0)
+    assert np.all(np.asarray(ba.re_own_hi) <= ba.re_ew)
