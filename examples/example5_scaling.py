@@ -48,26 +48,34 @@ def main(nx=1000, ny=500, lbfgs_steps=200):
     else:
         mesh_run = mesh
 
-    # throughput probe (slope-timed energy fwd+bwd)
-    def step(carry):
-        p, m = carry
+    # throughput probe (slope-timed energy fwd+bwd); the mesh rides as a
+    # loop-invariant operand, NOT in the carry (carried tables get copied
+    # every iteration — ~ms/step of pure copy at this scale)
+    def step(p, m):
         val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
-        return (p, m), val
+        return p, val
 
-    dt = slope_time_scan(step, (params, mesh_run), n1=5, n2=55)
+    dt = slope_time_scan(step, params, n1=5, n2=55, args=(mesh_run,))
     nqp = mesh.n_elements * 4
     print(f"energy fwd+bwd: {dt*1e3:.2f} ms/step -> {nqp/dt:.3e} qp/s "
           f"({nqp/dt/8.36e5:.0f}x the reference CPU baseline)")
 
     # a short LBFGS solve (full solves just scale num_steps)
     t0 = time.time()
+    p1, losses = ht.run_lbfgs(energy.total, params,
+                              num_steps=lbfgs_steps,
+                              loss_args=(mesh_run,))
+    losses = np.asarray(losses)
+    print(f"LBFGS {lbfgs_steps} iters: {time.time()-t0:.1f}s wall "
+          f"(cold, includes jit compile), "
+          f"energy {losses[0]:.4e} -> {losses[-1]:.4e}")
+    t0 = time.time()
     params, losses = ht.run_lbfgs(energy.total, params,
                                   num_steps=lbfgs_steps,
                                   loss_args=(mesh_run,))
     losses = np.asarray(losses)
-    print(f"LBFGS {lbfgs_steps} iters: {time.time()-t0:.1f}s wall, "
-          f"energy {losses[0]:.4e} -> {losses[-1]:.4e}")
+    print(f"LBFGS {lbfgs_steps} iters: {time.time()-t0:.1f}s wall (warm)")
     return params, losses
 
 

@@ -84,10 +84,12 @@ def _vg_kernel(own_ref, g_ref, e_ref, ct_ref, *, E, nu, w_sum):
     cols = (pl.program_id(0) * g.shape[1]
             + jax.lax.iota(jnp.int32, g.shape[1]))
     owned = (cols >= own_ref[0, 0]) & (cols < own_ref[0, 1])
-    lanes = _block_energy_lanes(g, E, nu, w_sum)
+    # vjp (not grad-of-sum) so the energy pipeline is traced ONCE and its
+    # residuals feed both the masked value and the cotangents
+    lanes, vjp_fn = jax.vjp(
+        lambda gg: _block_energy_lanes(gg, E, nu, w_sum), g)
     e_ref[0, 0] += jnp.sum(jnp.where(owned, lanes, 0.0))
-    ct_ref[...] = jax.grad(
-        lambda gg: _block_energy(gg, E, nu, w_sum))(g)
+    ct_ref[...] = vjp_fn(jnp.ones_like(lanes))[0]
 
 
 def _pallas_fwd(gT, E, nu, w_sum, interpret):
