@@ -1,0 +1,113 @@
+"""Matrix-free conjugate-gradient solve of quadratic energies.
+
+The reference only ever minimizes its energies with generic optimizers
+(Adam / L-BFGS, ``/root/reference/examples/example4.py:53-138``), but the
+HiDeNN plate energy with node coordinates frozen is *exactly* the FEM
+linear system K u = f (the energy is quadratic in the nodal values, and
+solving it IS the classic displacement FEM solve).  CG is the optimal
+Krylov method for that job, and on TPU every iteration is one pass of the
+production energy gradient.
+
+Stiffness matvec without forming K and without forward-mode AD:
+
+    K v = grad(p0 + v) - grad(p0)
+
+which is exact for quadratic losses (the gradient is affine).  This
+matters here because the fast energy paths (Pallas kernels, blocked-window
+assembly, incidence gathers) are ``jax.custom_vjp`` functions — reverse
+mode only — so the usual jvp-of-grad HVP cannot trace through them; the
+two-point form uses nothing but reverse mode.
+
+Fixed (Dirichlet) degrees of freedom need no special casing: the masked
+parameter reconstruction gives them exactly-zero gradients, so every
+Krylov vector stays in the free subspace automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cg_solve"]
+
+
+def _tree_dot(a, b) -> jax.Array:
+    leaves = jax.tree.leaves(jax.tree.map(jnp.vdot, a, b))
+    return functools.reduce(jnp.add, leaves)
+
+
+def _tree_axpy(alpha, x, y):
+    """y + alpha * x, leafwise."""
+    return jax.tree.map(lambda xl, yl: yl + alpha * xl, x, y)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("loss_fn", "max_iters", "tol"))
+def _cg(loss_fn, max_iters, tol, params, loss_args):
+    grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
+    g0 = grad_fn(params, *loss_args)
+
+    def matvec(v):
+        gv = grad_fn(_tree_axpy(1.0, v, params), *loss_args)
+        return jax.tree.map(jnp.subtract, gv, g0)
+
+    r = jax.tree.map(jnp.negative, g0)
+    p = r
+    x = jax.tree.map(jnp.zeros_like, params)
+    rs0 = _tree_dot(r, r)
+    tiny = jnp.asarray(1e-30, rs0.dtype)
+    hist0 = jnp.zeros((max_iters,), rs0.dtype)
+
+    # while_loop, not scan: a converged solve STOPS instead of paying a
+    # full (frozen) matvec for every remaining iteration.  The solver
+    # itself is not differentiated, so reverse-mode-through-scan is not
+    # needed here.
+    def cond(carry):
+        i, _, _, _, rs = carry[:5]
+        return (i < max_iters) & (rs > (tol * tol) * rs0)
+
+    def body(carry):
+        i, x, r, p, rs, hist = carry
+        Ap = matvec(p)
+        pAp = _tree_dot(p, Ap)
+        alpha = jnp.where(pAp > 0, rs / jnp.maximum(pAp, tiny), 0.0)
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, Ap, r)
+        rs_new = _tree_dot(r, r)
+        beta = rs_new / jnp.maximum(rs, tiny)
+        p = jax.tree.map(lambda rl, pl: rl + beta * pl, r, p)
+        hist = hist.at[i].set(jnp.sqrt(rs_new / jnp.maximum(rs0, tiny)))
+        return (i + 1, x, r, p, rs_new, hist)
+
+    _, x, _, _, _, hist = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), x, r, p, rs0, hist0))
+    return jax.tree.map(jnp.add, params, x), hist
+
+
+def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
+             max_iters: int = 500, tol: float = 1e-6
+             ) -> Tuple[dict, jax.Array]:
+    """Minimize a quadratic loss by conjugate gradients (see module
+    docstring) — the direct FEM solve for the fixed-mesh displacement
+    problem.
+
+    Args:
+      loss_fn: ``loss_fn(params, *loss_args) -> scalar``, quadratic in
+        every leaf of ``params``.  Freeze non-quadratic parameter groups
+        by threading them through ``loss_args`` (e.g.
+        ``lambda p, coords, mesh: energy({"u": p["u"],
+        "coords": coords}, mesh)``) — NOT by closure, which bakes device
+        arrays into the program.
+      params: initial guess pytree (the solve returns params + K^{-1} r).
+      max_iters: Krylov iteration cap; the loop exits at convergence.
+      tol: relative-residual stop, ||r|| <= tol * ||r0||.
+
+    Returns:
+      (solution pytree, per-iteration relative residual norms — zero for
+      iterations never executed).
+    """
+    return _cg(loss_fn, int(max_iters), float(tol), params,
+               tuple(loss_args))
