@@ -24,6 +24,6 @@ from .ops.losses import l2_loss, bar_energy_1d, PlaneStressEnergy
 from .solve.optimizers import adam, adam_per_group, lbfgs, freeze_groups
 from .solve.drivers import minimize, run_optimizer, run_lbfgs, \
     alternating_solve, two_phase_solve
-from .solve.linear import cg_solve
+from .solve.linear import cg_solve, radapt_cg_solve
 
 __version__ = "0.1.0"

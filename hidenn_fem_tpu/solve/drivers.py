@@ -188,7 +188,10 @@ def minimize(loss_fn: Callable, params, method: str = "adam",
     """One-call solve facade.
 
     method: "adam" (optionally with ``group_lrs`` for the two-group scheme,
-    ``examples/example4.py:54-57``) or "lbfgs" (``examples/example4.py:68``).
+    ``examples/example4.py:54-57``), "lbfgs" (``examples/example4.py:68``),
+    or "cg" (matrix-free conjugate gradients — ONLY for losses quadratic
+    in ``params``, e.g. the displacement problem at fixed mesh; see
+    ``solve/linear.py``; returns relative residual norms, not losses).
     Large data (meshes) should go in ``loss_args``
     (``loss_fn(params, *loss_args)``) instead of being closed over.
     """
@@ -199,6 +202,10 @@ def minimize(loss_fn: Callable, params, method: str = "adam",
     if method == "lbfgs":
         return run_lbfgs(loss_fn, params, num_steps, loss_args=loss_args,
                          **kwargs)
+    if method == "cg":
+        from .linear import cg_solve
+        return cg_solve(loss_fn, params, loss_args=loss_args,
+                        max_iters=num_steps, **kwargs)
     raise ValueError(f"unknown method {method!r}")
 
 

@@ -31,7 +31,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg_solve"]
+__all__ = ["cg_solve", "radapt_cg_solve"]
 
 
 def _tree_dot(a, b) -> jax.Array:
@@ -111,3 +111,46 @@ def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
     """
     return _cg(loss_fn, int(max_iters), float(tol), params,
                tuple(loss_args))
+
+
+def radapt_cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
+                    outer_epochs: int = 10, cg_iters: int = 400,
+                    cg_tol: float = 1e-6, coord_steps: int = 20,
+                    coord_lr: float = 1e-7, u_key: str = "u",
+                    coord_key: str = "coords") -> Tuple[dict, jax.Array]:
+    """r-adaptivity with EXACT inner displacement solves.
+
+    The reference's alternating scheme
+    (``/root/reference/examples/example4.py:83-112``) takes a few Adam
+    steps on the nodal values, then a few on the node coordinates.  The
+    value phase is approximating the solution of a *quadratic* problem —
+    so solve it exactly instead: each outer epoch (1) CG-solves the
+    displacement system at the current mesh (``cg_solve``), then
+    (2) takes ``coord_steps`` Adam steps on the node coordinates at the
+    solved displacements.  The energy after each epoch is the TRUE
+    r-adaptive objective at an exactly-equilibrated state, so coordinate
+    gradients are never polluted by an unconverged value phase.
+
+    Args / returns follow ``cg_solve``; ``loss_fn(params, *loss_args)``
+    must be quadratic in ``params[u_key]`` at fixed ``params[coord_key]``.
+    Returns (params, per-epoch energies at the equilibrated states).
+    """
+    from . import optimizers as _opt
+    from .drivers import run_optimizer
+
+    opt_c = _opt.freeze_groups(_opt.adam(coord_lr), [u_key])
+
+    def u_loss(pu, coords, *a):
+        return loss_fn({u_key: pu[u_key], coord_key: coords}, *a)
+
+    energies = []
+    for _ in range(outer_epochs):
+        coords0 = params[coord_key]
+        pu, _ = cg_solve(u_loss, {u_key: params[u_key]},
+                         loss_args=(coords0,) + tuple(loss_args),
+                         max_iters=cg_iters, tol=cg_tol)
+        params = {u_key: pu[u_key], coord_key: coords0}
+        energies.append(loss_fn(params, *loss_args))
+        params, _ = run_optimizer(loss_fn, params, opt_c, coord_steps,
+                                  tuple(loss_args))
+    return params, jnp.stack(energies)

@@ -75,3 +75,50 @@ def test_cg_respects_dirichlet():
     moved = np.asarray(sol["u"] - params["u"])
     fixed = np.asarray(mesh.dirichlet_mask)
     assert np.all(moved[fixed] == 0.0)
+
+
+def test_radapt_cg_improves_on_fixed_mesh():
+    """Alternating exact-CG / coordinate-Adam epochs must lower the
+    energy below the fixed-mesh displacement solve (r-adaptivity gain),
+    with monotone non-increasing equilibrated energies."""
+    mesh = ht.proxy_plate_mesh(nx=21, ny=11)
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def loss(p, m):
+        return energy(p, m)
+
+    pf, energies = ht.radapt_cg_solve(loss, params, loss_args=(mesh,),
+                                      outer_epochs=4, cg_iters=300,
+                                      coord_steps=10, coord_lr=1e-4)
+    e = np.asarray(energies)
+    assert np.all(np.isfinite(e))
+    # each epoch's equilibrated energy is no worse than the previous
+    assert np.all(e[1:] <= e[:-1] + 1e-6 * np.abs(e[:-1]))
+    # and the mesh actually moved
+    assert float(jnp.max(jnp.abs(pf["coords"] - params["coords"]))) > 0
+
+
+def test_minimize_cg_facade():
+    """minimize(..., method='cg') routes to cg_solve."""
+    mesh = ht.proxy_plate_mesh(nx=21, ny=11)
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+    coords0 = params["coords"]
+
+    def loss(p, coords, m):
+        return energy({"u": p["u"], "coords": coords}, m)
+
+    sol, hist = ht.minimize(loss, {"u": params["u"]}, method="cg",
+                            num_steps=200, loss_args=(coords0, mesh))
+    h = np.asarray(hist)
+    assert h[h > 0][-1] < 1e-3
+
+
+def test_example8_small():
+    from examples import example8_linear_solve
+    pf, energies = example8_linear_solve.main(nx=21, ny=11, max_iters=200,
+                                              radapt_epochs=2)
+    assert np.all(np.isfinite(energies))
