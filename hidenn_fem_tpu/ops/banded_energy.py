@@ -160,6 +160,24 @@ def _gather_block_T(node, rel, start, wnode):
     return g12.T                                       # [12, EBpad]
 
 
+def _cot_rows(cotT, ew, f):
+    """Flat [*, F] cotangent rows with a ZERO row at index 3*ew (the
+    incidence tables' unused-slot sentinel).
+
+    When the kernel block is padded (ew not a multiple of _BLK), the pad
+    columns' cotangents are already exactly zero (zero-padded nodal data
+    gives zero energy AND zero cotangent — see pallas_energy docstring),
+    so the padded transpose reshape is the sentinel table for free.
+    Appending a zeros row instead costs a full per-block copy of the
+    table and serializes the backward gather behind it — measured
+    20.4 -> 17.6 ms/step at 922K elements.
+    """
+    if ew % _BLK:
+        return cotT.T.reshape(-1, f)       # [EWp*3, F]; rows >= 3*ew zero
+    cot3 = cotT.T[:ew].reshape(ew * 3, f)
+    return jnp.concatenate([cot3, jnp.zeros((1, f), cot3.dtype)], axis=0)
+
+
 def banded_element_energy(node, ba, E, nu, w_sum, interpret):
     """Total elastic energy from the packed node table [N, 4] via the
     blocked-window tables ``ba`` (see module docstring)."""
@@ -212,9 +230,7 @@ def _recompute_bwd(node, ba, E, nu, w_sum, interpret, ct, row_start):
         # the same scan block); an in-kernel Mosaic transpose writing
         # [EWp, 16] directly was measured SLOWER (43.7 vs 32.5 ms/step at
         # 922K) than this XLA transpose.
-        cot3 = cotT.T[:ew].reshape(ew * 3, f)
-        cot3 = jnp.concatenate(
-            [cot3, jnp.zeros((1, f), cot3.dtype)], axis=0)
+        cot3 = _cot_rows(cotT, ew, f)
         g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
         return None, jnp.sum(g, axis=1)                    # [NBr, F]
 
@@ -250,9 +266,7 @@ def _recompute_vg(node, ba, E, nu, w_sum, interpret, row_start):
         conn_rel, ns, rel3, ow = inp
         gT = _gather_block_T(node, conn_rel, ns, wn)        # [12, EWp]
         part, cotT = _pallas_vg(gT, ow[None, :], E, nu, w_sum, interpret)
-        cot3 = cotT.T[:ew].reshape(ew * 3, f)
-        cot3 = jnp.concatenate(
-            [cot3, jnp.zeros((1, f), cot3.dtype)], axis=0)
+        cot3 = _cot_rows(cotT, ew, f)
         g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
         return None, (part, jnp.sum(g, axis=1))             # [NBr, F]
 
