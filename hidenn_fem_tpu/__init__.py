@@ -25,5 +25,7 @@ from .solve.optimizers import adam, adam_per_group, lbfgs, freeze_groups
 from .solve.drivers import minimize, run_optimizer, run_lbfgs, \
     alternating_solve, two_phase_solve
 from .solve.linear import cg_solve, radapt_cg_solve
+from .solve.multigrid import mg_pcg_solve, build_hierarchy, \
+    radapt_mg_solve
 
 __version__ = "0.1.0"
