@@ -100,6 +100,69 @@ int hdnn_outside_holes(const double* points, int64_t n,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// greedy node coloring of the mesh adjacency graph (nodes adjacent iff
+// they share an element edge).  Used for exact matrix-free stiffness
+// diagonal extraction: same-color nodes are never coupled in K, so one
+// probe per (color, component) reads a whole diagonal slice.
+//   conn     [ne*3] int32 triangle connectivity
+//   colors   [n_nodes] int32 out
+//   n_colors receives the color count (<= maxdeg+1)
+int hdnn_greedy_color(const int32_t* conn, int64_t ne, int64_t n_nodes,
+                      int32_t* colors, int32_t* n_colors) {
+  std::vector<uint64_t> keys;
+  keys.reserve(static_cast<size_t>(ne) * 3);
+  const auto pack = [](int32_t u, int32_t v) {
+    const uint64_t lo = static_cast<uint32_t>(std::min(u, v));
+    const uint64_t hi = static_cast<uint32_t>(std::max(u, v));
+    return (lo << 32) | hi;
+  };
+  for (int64_t e = 0; e < ne; ++e) {
+    const int32_t a = conn[e * 3], b = conn[e * 3 + 1],
+                  c = conn[e * 3 + 2];
+    keys.push_back(pack(a, b));
+    keys.push_back(pack(b, c));
+    keys.push_back(pack(c, a));
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+
+  std::vector<int64_t> off(n_nodes + 1, 0);
+  for (const uint64_t k : keys) {
+    ++off[(k >> 32) + 1];
+    ++off[(k & 0xFFFFFFFFu) + 1];
+  }
+  for (int64_t i = 0; i < n_nodes; ++i) off[i + 1] += off[i];
+  std::vector<int32_t> adj(off[n_nodes]);
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (const uint64_t k : keys) {
+    const int32_t u = static_cast<int32_t>(k >> 32);
+    const int32_t v = static_cast<int32_t>(k & 0xFFFFFFFFu);
+    adj[cur[u]++] = v;
+    adj[cur[v]++] = u;
+  }
+
+  std::fill(colors, colors + n_nodes, -1);
+  std::vector<int64_t> mark;  // mark[c] == i  <=>  color c used by a
+  int32_t maxc = 0;           // neighbour of node i
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    for (int64_t a = off[i]; a < off[i + 1]; ++a) {
+      const int32_t cc = colors[adj[a]];
+      if (cc >= 0) {
+        if (cc >= static_cast<int32_t>(mark.size()))
+          mark.resize(cc + 1, -1);
+        mark[cc] = i;
+      }
+    }
+    int32_t c = 0;
+    while (c < static_cast<int32_t>(mark.size()) && mark[c] == i) ++c;
+    colors[i] = c;
+    maxc = std::max(maxc, c);
+  }
+  *n_colors = maxc + 1;
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

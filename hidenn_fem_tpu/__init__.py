@@ -24,7 +24,8 @@ from .ops.losses import l2_loss, bar_energy_1d, PlaneStressEnergy
 from .solve.optimizers import adam, adam_per_group, lbfgs, freeze_groups
 from .solve.drivers import minimize, run_optimizer, run_lbfgs, \
     alternating_solve, two_phase_solve
-from .solve.linear import cg_solve, radapt_cg_solve
+from .solve.linear import cg_solve, radapt_cg_solve, jacobi_diagonal, \
+    jacobi_pcg_solve
 from .solve.multigrid import mg_pcg_solve, build_hierarchy, \
     radapt_mg_solve
 

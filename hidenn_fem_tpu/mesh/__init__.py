@@ -1,3 +1,4 @@
 from .types import TriMesh
 from .structured import generate_mesh, rectangle_tri_zigzag, proxy_plate_mesh
 from .gmsh_backend import generate_mesh_gmsh, have_gmsh
+from .coloring import color_nodes, check_coloring

@@ -23,7 +23,8 @@ import sys
 import numpy as np
 
 __all__ = ["available", "build", "unique_edges", "build_incidence_table",
-           "outside_holes", "structured_cells", "banded_tables"]
+           "outside_holes", "structured_cells", "banded_tables",
+           "greedy_color"]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -47,6 +48,7 @@ def _load():
             lib.hdnn_incidence.restype = ctypes.c_int
             lib.hdnn_outside_holes.restype = ctypes.c_int
             lib.hdnn_structured_cells.restype = ctypes.c_int
+            lib.hdnn_greedy_color.restype = ctypes.c_int
             lib.hdnn_banded_plan.restype = ctypes.c_int
             lib.hdnn_banded_fill.restype = ctypes.c_int
             _lib = lib
@@ -133,6 +135,23 @@ def outside_holes(points: np.ndarray, holes) -> np.ndarray:
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     assert rc == 0
     return keep.astype(bool)
+
+
+def greedy_color(connectivity: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Native greedy node coloring of the element-edge adjacency graph
+    (same order/tie-breaks as the numpy fallback in ``coloring.py``)."""
+    lib = _load()
+    conn = _as_i32(connectivity)
+    ne = conn.shape[0]
+    colors = np.empty(n_nodes, dtype=np.int32)
+    n_colors = np.zeros(1, dtype=np.int32)
+    rc = lib.hdnn_greedy_color(
+        conn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(ne), ctypes.c_int64(n_nodes),
+        colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert rc == 0
+    return colors
 
 
 def structured_cells(nx: int, ny: int, variant: str = "zigzag"

@@ -31,7 +31,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg_solve", "radapt_cg_solve"]
+__all__ = ["cg_solve", "radapt_cg_solve", "jacobi_diagonal",
+           "jacobi_pcg_solve"]
 
 
 def _tree_dot(a, b) -> jax.Array:
@@ -46,7 +47,7 @@ def _tree_axpy(alpha, x, y):
 
 @functools.partial(jax.jit,
                    static_argnames=("loss_fn", "max_iters", "tol"))
-def _cg(loss_fn, max_iters, tol, params, loss_args):
+def _cg(loss_fn, max_iters, tol, params, loss_args, dinv=None):
     grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
     g0 = grad_fn(params, *loss_args)
 
@@ -54,10 +55,17 @@ def _cg(loss_fn, max_iters, tol, params, loss_args):
         gv = grad_fn(_tree_axpy(1.0, v, params), *loss_args)
         return jax.tree.map(jnp.subtract, gv, g0)
 
+    def precond(r):
+        if dinv is None:
+            return r
+        return jax.tree.map(jnp.multiply, dinv, r)
+
     r = jax.tree.map(jnp.negative, g0)
-    p = r
+    z = precond(r)
+    p = z
     x = jax.tree.map(jnp.zeros_like, params)
     rs0 = _tree_dot(r, r)
+    rz0 = _tree_dot(r, z)
     tiny = jnp.asarray(1e-30, rs0.dtype)
     hist0 = jnp.zeros((max_iters,), rs0.dtype)
 
@@ -66,25 +74,101 @@ def _cg(loss_fn, max_iters, tol, params, loss_args):
     # itself is not differentiated, so reverse-mode-through-scan is not
     # needed here.
     def cond(carry):
-        i, _, _, _, rs = carry[:5]
+        i, _, _, _, _, rs = carry[:6]
         return (i < max_iters) & (rs > (tol * tol) * rs0)
 
     def body(carry):
-        i, x, r, p, rs, hist = carry
+        i, x, r, p, rz, rs, hist = carry
         Ap = matvec(p)
         pAp = _tree_dot(p, Ap)
-        alpha = jnp.where(pAp > 0, rs / jnp.maximum(pAp, tiny), 0.0)
+        alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, tiny), 0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, Ap, r)
+        z = precond(r)
+        rz_new = _tree_dot(r, z)
+        beta = rz_new / jnp.maximum(rz, tiny)
+        p = jax.tree.map(lambda zl, pl: zl + beta * pl, z, p)
         rs_new = _tree_dot(r, r)
-        beta = rs_new / jnp.maximum(rs, tiny)
-        p = jax.tree.map(lambda rl, pl: rl + beta * pl, r, p)
         hist = hist.at[i].set(jnp.sqrt(rs_new / jnp.maximum(rs0, tiny)))
-        return (i + 1, x, r, p, rs_new, hist)
+        return (i + 1, x, r, p, rz_new, rs_new, hist)
 
-    _, x, _, _, _, hist = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), x, r, p, rs0, hist0))
+    _, x, _, _, _, _, hist = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), x, r, p, rz0, rs0, hist0))
     return jax.tree.map(jnp.add, params, x), hist
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "n_colors"))
+def _jacobi_diag(loss_fn, n_colors, params, loss_args, colors):
+    """Exact diag(K) by colored probing (see ``mesh/coloring.py``): one
+    matvec per (color, leaf, component).  Leafwise probing is exact even
+    for multi-leaf params: the probed positions of the probed leaf's
+    gradient rows only see same-leaf, same-component, same-color
+    couplings — i.e. the diagonal."""
+    grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
+    g0 = grad_fn(params, *loss_args)
+    leaves, treedef = jax.tree.flatten(params)
+    g0_leaves = jax.tree.leaves(g0)
+
+    def probe(diags, c):
+        mask = None
+        out = []
+        for li, leaf in enumerate(leaves):
+            dl = diags[li]
+            if mask is None or mask.dtype != leaf.dtype:
+                mask = (colors == c).astype(leaf.dtype)
+            for k in range(leaf.shape[-1]):
+                zl = mask[:, None] * jax.nn.one_hot(k, leaf.shape[-1],
+                                                    dtype=leaf.dtype)
+                zs = [jnp.zeros_like(x) for x in leaves]
+                zs[li] = zl
+                gz = grad_fn(
+                    _tree_axpy(1.0, jax.tree.unflatten(treedef, zs),
+                               params), *loss_args)
+                kz = jax.tree.leaves(gz)[li] - g0_leaves[li]
+                dl = dl + zl * kz
+            out.append(dl)
+        return tuple(out), None
+
+    diags, _ = jax.lax.scan(
+        probe, tuple(jnp.zeros_like(l) for l in leaves),
+        jnp.arange(n_colors))
+    return jax.tree.unflatten(treedef, list(diags))
+
+
+def jacobi_diagonal(loss_fn: Callable, params, loss_args: tuple,
+                    node_colors) -> dict:
+    """Exact stiffness diagonal of a quadratic ``loss_fn`` at ``params``
+    (matrix-free; ``n_colors * n_components`` gradient evaluations).
+    ``node_colors`` is a proper coloring of the stiffness sparsity graph
+    (``mesh.coloring.color_nodes``); every leaf of ``params`` must be
+    node-indexed ``[N, C]``."""
+    colors = jnp.asarray(node_colors)
+    n_colors = int(jnp.max(colors)) + 1 if colors.size else 1
+    return _jacobi_diag(loss_fn, n_colors, params, tuple(loss_args),
+                        colors)
+
+
+def jacobi_pcg_solve(loss_fn: Callable, params, loss_args: tuple = (),
+                     mesh=None, node_colors=None, max_iters: int = 500,
+                     tol: float = 1e-6) -> Tuple[dict, jax.Array]:
+    """Jacobi-preconditioned CG: ``cg_solve`` with ``M = diag(K)``
+    extracted exactly by colored probing.  Pass either a ``TriMesh``
+    (colors computed from its connectivity — native C++ when built) or a
+    precomputed ``node_colors``.  Plain CG is already well-scaled on
+    uniform meshes; Jacobi pays off when element sizes vary (r-adapted
+    or graded meshes) or materials are heterogeneous."""
+    if node_colors is None:
+        from ..mesh.coloring import color_nodes
+        import numpy as np
+        node_colors = color_nodes(np.asarray(mesh.connectivity),
+                                  mesh.n_nodes)
+    diag = jacobi_diagonal(loss_fn, params, loss_args, node_colors)
+    tiny = 1e-30
+    dinv = jax.tree.map(
+        lambda d: jnp.where(d > tiny, 1.0 / jnp.maximum(d, tiny), 0.0),
+        diag)
+    return _cg(loss_fn, int(max_iters), float(tol), params,
+               tuple(loss_args), dinv=dinv)
 
 
 def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
