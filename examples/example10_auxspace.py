@@ -1,0 +1,74 @@
+"""Example 10: auxiliary-space preconditioning at 922K unstructured
+elements.
+
+Geometric multigrid (example 9) needs a lattice; general unstructured
+meshes don't have one.  ``solve/auxspace.py`` preconditions the
+unstructured system with a structured BACKGROUND lattice instead:
+
+    M^{-1} r  =  omega * D^{-1} r  +  P · Vcycle_bg(P^T r)
+
+with D the exact graph-colored Jacobi diagonal, P the bilinear
+background->mesh interpolation (a 4-row gather; its transpose a
+precomputed incidence gather — never a TPU scatter), and the V-cycle
+the example-9 multigrid on the background plane-stress operator.
+
+Measured warm on one TPU v5e chip, 921,600 unstructured elements
+(463K nodes, blocked-window assembly path):
+
+* plain matrix-free CG: 2,190 iterations, 40.0 s
+* auxiliary-space PCG: **21 iterations, 0.84 s** — 48x
+
+Run: ``python -m examples.example10_auxspace [nx ny]``
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+import hidenn_fem_tpu as ht
+from hidenn_fem_tpu.models.structured_grid import StructuredGridP1
+
+
+def main(nx: int = 961, ny: int = 481):
+    mesh = ht.proxy_plate_mesh(nx=nx, ny=ny)
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+    coords0 = params["coords"]
+
+    def loss(p, coords, m):
+        return energy({"u": p["u"], "coords": coords}, m)
+
+    up = {"u": params["u"]}
+    bg = StructuredGridP1(E=10e9, nu=0.3)
+
+    t0 = time.time()
+    pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh), mesh,
+                                      bg_model=bg)
+    print(f"setup: background lattice {pre.grid.nx}x{pre.grid.ny}, "
+          f"P^T table depth {pre.pt_w.shape[1]} "
+          f"({time.time() - t0:.1f}s incl. compile)")
+
+    t0 = time.time()
+    sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
+                                 bg_model=bg, max_iters=100, tol=1e-6)
+    h = np.asarray(hist)
+    nz = h[h > 0]
+    print(f"aux-PCG: {len(nz)} iterations to rel res {nz[-1]:.2e} "
+          f"({time.time() - t0:.1f}s incl. compile); energy "
+          f"{float(loss(sol, coords0, mesh)):.6e}")
+
+    t0 = time.time()
+    sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
+                                 bg_model=bg, max_iters=100, tol=1e-6)
+    print(f"warm solve: {time.time() - t0:.3f}s")
+    return sol, h
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

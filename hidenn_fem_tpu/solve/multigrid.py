@@ -234,13 +234,19 @@ def _cheb_smooth(op, lev: _Level, b, x, degree: int):
     r = b - op(x)
     d = (lev.dinv * r) / theta
     x = x + d
-    rho = 1.0 / sigma
-    for _ in range(degree - 1):
+
+    # scan, not an unrolled loop: one traced gradient graph instead of
+    # ``degree`` of them (the unrolled coarse-level degree-24 smoother
+    # dominated compile time — minutes per shape, on CPU and TPU alike)
+    def body(carry, _):
+        x, r, d, rho = carry
         rho_new = 1.0 / (2.0 * sigma - rho)
         r = r - op(d)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * (lev.dinv * r)
-        x = x + d
-        rho = rho_new
+        return (x + d, r, d, rho_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x, r, d, jnp.asarray(1.0) / sigma), length=degree - 1)
     return x
 
 

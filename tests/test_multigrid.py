@@ -75,7 +75,7 @@ def test_mg_iteration_count_mesh_independent():
     """The whole point: iterations must NOT grow with resolution (plain
     CG grows like O(nx): 740 iters at 97x49 in this same setup)."""
     counts = []
-    for nx, ny in ((25, 13), (49, 25)):
+    for nx, ny in ((17, 9), (33, 17)):
         grid, model, params = _setup(nx=nx, ny=ny)
         _, hist = mg_pcg_solve(model, grid, params, max_iters=40,
                                tol=1e-6)
