@@ -203,7 +203,7 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
         free=jnp.asarray(free), omega=float(omega))
 
 
-def _apply_aux(bg_model, pre: _AuxPrecond, r):
+def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
     """M^{-1} r (see module docstring); [N, 2] in and out."""
     nb_nx, nb_ny = pre.grid.nx, pre.grid.ny
     # P^T r: background residual via the fine-node incidence gather
@@ -212,7 +212,8 @@ def _apply_aux(bg_model, pre: _AuxPrecond, r):
     r_bg = jnp.sum(pre.pt_w[..., None] * gath, axis=1).reshape(
         nb_nx, nb_ny, 2)
     # one V-cycle of the background operator
-    z_bg = mg.vcycle(bg_model, pre.levels, r_bg).reshape(-1, 2)
+    z_bg = mg.vcycle(bg_model, pre.levels, r_bg,
+                     g0s=g0s).reshape(-1, 2)
     # P z_bg: four weighted corner rows per fine node
     zc = z_bg[pre.p_idx].reshape(-1, 4, 2)
     z_coarse = jnp.sum(pre.p_w[..., None] * zc, axis=1)
@@ -231,8 +232,10 @@ def _aux_pcg(loss_fn, bg_model, max_iters, tol, u_key, params,
         gv = grad_fn(_tree_axpy(1.0, v, params), *loss_args)
         return jax.tree.map(jnp.subtract, gv, g0)
 
+    g0s = mg.level_g0s(bg_model, pre.levels)   # loop-invariant, hoisted
+
     def precond(rt):
-        return {u_key: _apply_aux(bg_model, pre, rt[u_key])}
+        return {u_key: _apply_aux(bg_model, pre, rt[u_key], g0s=g0s)}
 
     r = jax.tree.map(jnp.negative, g0)
     z = precond(r)

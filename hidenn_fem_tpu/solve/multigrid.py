@@ -128,20 +128,33 @@ class _Level:
     # both of which probe a zero diagonal)
 
 
-def _level_op(model, level: _Level):
-    """The level stiffness action v -> K_l v (two-point gradient
-    difference of the quadratic domain energy; exact, reverse-mode
-    only)."""
+def _level_grad(model, level: _Level):
     def dom(u):
         return model.domain_energy({"coords": level.coords, "u": u},
                                    level.grid)
-    g = jax.grad(dom)
+    return jax.grad(dom)
 
-    def op(v, g0):
+
+def level_g0s(model, levels) -> tuple:
+    """Per-level gradients at zero — the affine part of each level
+    operator.  Loop-invariant: compute ONCE outside any iteration loop
+    (XLA does not reliably hoist them out of a ``while_loop`` body)."""
+    return tuple(_level_grad(model, lev)(jnp.zeros_like(lev.coords))
+                 for lev in levels)
+
+
+def _level_op(model, level: _Level, g0=None):
+    """The level stiffness action v -> K_l v (two-point gradient
+    difference of the quadratic domain energy; exact, reverse-mode
+    only)."""
+    g = _level_grad(model, level)
+    if g0 is None:
+        g0 = g(jnp.zeros_like(level.coords))
+
+    def op(v):
         return g(v) - g0
 
-    g0 = g(jnp.zeros_like(level.coords))
-    return functools.partial(op, g0=g0)
+    return op
 
 
 @functools.partial(jax.jit, static_argnames=("model", "power_iters"))
@@ -200,15 +213,16 @@ def _setup_level(model, grid: StructuredGrid, coords: jax.Array,
                   free=free)
 
 
-def build_hierarchy(model, grid: StructuredGrid, coords: jax.Array,
-                    min_size: int = 4, max_levels: int = 16,
-                    power_iters: int = 15) -> Tuple[_Level, ...]:
-    """Coarsen ``grid`` (with the given — possibly r-adapted — pinned
-    node coordinates) while the quad lattice divides by 2 and stays at
-    least ``min_size`` nodes per axis; set up diagonals and Chebyshev
-    bounds per level.  Returns a tuple pytree: pass it straight into
-    jitted solves."""
-    levels: List[_Level] = [_setup_level(model, grid, coords, power_iters)]
+@functools.partial(jax.jit, static_argnames=("model", "min_size",
+                                             "max_levels", "power_iters"))
+def _build_hierarchy(model, grid, coords, min_size, max_levels,
+                     power_iters):
+    # the whole build is ONE jitted program (all control flow is on
+    # static lattice shapes): the eager per-level version cost ~3 s of
+    # host dispatch per rebuild through the TPU tunnel, which dominated
+    # r-adaptive outer loops that rebuild on every coords change.
+    levels: List[_Level] = [_setup_level(model, grid, coords,
+                                         power_iters)]
     g = grid
     while len(levels) < max_levels:
         gc = coarsen_grid(g)
@@ -218,6 +232,18 @@ def build_hierarchy(model, grid: StructuredGrid, coords: jax.Array,
         levels.append(_setup_level(model, gc, coords, power_iters))
         g = gc
     return tuple(levels)
+
+
+def build_hierarchy(model, grid: StructuredGrid, coords: jax.Array,
+                    min_size: int = 4, max_levels: int = 16,
+                    power_iters: int = 15) -> Tuple[_Level, ...]:
+    """Coarsen ``grid`` (with the given — possibly r-adapted — pinned
+    node coordinates) while the quad lattice divides by 2 and stays at
+    least ``min_size`` nodes per axis; set up diagonals and Chebyshev
+    bounds per level.  Returns a tuple pytree: pass it straight into
+    jitted solves."""
+    return _build_hierarchy(model, grid, coords, int(min_size),
+                            int(max_levels), int(power_iters))
 
 
 # --------------------------------------------------------------- smoothing
@@ -251,18 +277,21 @@ def _cheb_smooth(op, lev: _Level, b, x, degree: int):
 
 
 def vcycle(model, levels: Tuple[_Level, ...], b, nu: int = 3,
-           coarse_degree: int = 24, _l: int = 0):
+           coarse_degree: int = 24, _l: int = 0, g0s=None):
     """One V(nu, nu) cycle approximating K^{-1} b on the finest level.
     Linear and symmetric in ``b`` (Chebyshev smoothers, adjoint
     transfer pair, free-subspace masking) — a valid PCG preconditioner.
-    """
+    Pass ``g0s = level_g0s(model, levels)`` when calling from inside an
+    iteration loop so the affine parts aren't recomputed per call."""
+    if g0s is None:
+        g0s = level_g0s(model, levels)
     lev = levels[_l]
-    op = _level_op(model, lev)
+    op = _level_op(model, lev, g0s[_l])
     if _l == len(levels) - 1:
         return _cheb_smooth(op, lev, b, jnp.zeros_like(b), coarse_degree)
     x = _cheb_smooth(op, lev, b, jnp.zeros_like(b), nu)
     rc = _restrict(b - op(x))
-    xc = vcycle(model, levels, rc, nu, coarse_degree, _l + 1)
+    xc = vcycle(model, levels, rc, nu, coarse_degree, _l + 1, g0s)
     x = x + lev.free * prolong(xc)
     return _cheb_smooth(op, lev, b, x, nu)
 
@@ -280,11 +309,13 @@ def _mg_pcg(model, levels, grid, params, max_iters, tol, nu,
         return model({"coords": coords, "u": u}, grid)
     g0 = jax.grad(total)(u0)
 
-    fine_op = _level_op(model, levels[0])   # K of the full energy (the
-    # traction term is linear in u, so domain-only K is exact)
+    g0s = level_g0s(model, levels)          # affine parts, hoisted out
+    fine_op = _level_op(model, levels[0], g0s[0])   # K of the full
+    # energy (the traction term is linear in u, so domain-only K is
+    # exact)
 
     r = -g0
-    z = vcycle(model, levels, r, nu, coarse_degree)
+    z = vcycle(model, levels, r, nu, coarse_degree, g0s=g0s)
     p = z
     x = jnp.zeros_like(u0)
     rz = jnp.sum(r * z)
@@ -303,7 +334,7 @@ def _mg_pcg(model, levels, grid, params, max_iters, tol, nu,
         alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, tiny), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = vcycle(model, levels, r, nu, coarse_degree)
+        z = vcycle(model, levels, r, nu, coarse_degree, g0s=g0s)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.maximum(rz, tiny)
         p = z + beta * p

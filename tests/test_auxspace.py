@@ -81,6 +81,13 @@ def test_aux_pcg_with_holes():
     assert float(jnp.max(jnp.abs(sola["u"] - solc["u"]))) <= 5e-3 * s
 
 
+def test_example10_small():
+    from examples import example10_auxspace
+    sol, hist = example10_auxspace.main(nx=33, ny=17)
+    h = np.asarray(hist)
+    assert h[h > 0][-1] <= 1e-6
+
+
 def test_aux_preconditioner_reuse():
     mesh, params, loss = _plate(nx=21, ny=11)
     up = {"u": params["u"]}

@@ -133,6 +133,13 @@ def test_hierarchy_reuse():
     assert float(jnp.max(jnp.abs(sol2["u"] - sol1["u"]))) <= 3e-4 * scale
 
 
+def test_example9_small():
+    from examples import example9_multigrid
+    sol, hist = example9_multigrid.main(nx=33, ny=17)
+    h = np.asarray(hist)
+    assert h[h > 0][-1] <= 1e-6
+
+
 def test_radapt_mg_improves_energy():
     """Alternating exact MG solves with coordinate steps must lower the
     equilibrated energy monotonically and actually move the mesh."""
