@@ -106,6 +106,37 @@ def bench_plate_solve(ht):
     return best
 
 
+def bench_mg_solve(ht):
+    """Warm multigrid-PCG displacement solve at 231K elements (481x241
+    structured lattice) — the round-2 solver flagship's regression
+    canary (the 922K/3.7M numbers live in PARITY.md; this size keeps
+    the bench's compile bill bounded)."""
+    import time
+
+    from hidenn_fem_tpu.models.structured_grid import (
+        StructuredGridP1, generate_structured_grid)
+
+    grid = generate_structured_grid(length=2.0, height=1.0, holes=(),
+                                    nx=481, ny=241)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    levels = ht.build_hierarchy(model, grid, model.coords(params, grid))
+
+    def run():
+        _, hist = ht.mg_pcg_solve(model, grid, params, max_iters=40,
+                                  tol=1e-6, levels=levels)
+        import numpy as np
+        h = np.asarray(hist)
+        assert h[h > 0][-1] <= 1e-6
+    run()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import hidenn_fem_tpu as ht
     from hidenn_fem_tpu.utils.profiling import slope_time_scan
@@ -129,6 +160,11 @@ def main():
             f"{dt_sg * 1e6:.4g}")
     except Exception as e:
         extra["structured_922k_error"] = repr(e)[:200]
+    try:
+        extra["mg_481x241_solve_warm_s"] = float(
+            f"{bench_mg_solve(ht):.4g}")
+    except Exception as e:
+        extra["mg_481x241_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "quadrature_point_evals_per_sec_fwd_bwd",

@@ -189,9 +189,14 @@ def minimize(loss_fn: Callable, params, method: str = "adam",
 
     method: "adam" (optionally with ``group_lrs`` for the two-group scheme,
     ``examples/example4.py:54-57``), "lbfgs" (``examples/example4.py:68``),
-    or "cg" (matrix-free conjugate gradients — ONLY for losses quadratic
-    in ``params``, e.g. the displacement problem at fixed mesh; see
-    ``solve/linear.py``; returns relative residual norms, not losses).
+    "cg", or "jacobi_cg" (matrix-free conjugate gradients, optionally
+    Jacobi-preconditioned via graph-colored probing — ONLY for losses
+    quadratic in ``params``, e.g. the displacement problem at fixed
+    mesh; see ``solve/linear.py``; "jacobi_cg" needs ``mesh=`` or
+    ``node_colors=``; both return relative residual norms, not losses).
+    Structured grids additionally get ``mg_pcg_solve`` and unstructured
+    meshes ``aux_pcg_solve`` (different signatures — see
+    ``solve/multigrid.py`` / ``solve/auxspace.py``).
     Large data (meshes) should go in ``loss_args``
     (``loss_fn(params, *loss_args)``) instead of being closed over.
     """
@@ -206,6 +211,10 @@ def minimize(loss_fn: Callable, params, method: str = "adam",
         from .linear import cg_solve
         return cg_solve(loss_fn, params, loss_args=loss_args,
                         max_iters=num_steps, **kwargs)
+    if method == "jacobi_cg":
+        from .linear import jacobi_pcg_solve
+        return jacobi_pcg_solve(loss_fn, params, loss_args=loss_args,
+                                max_iters=num_steps, **kwargs)
     raise ValueError(f"unknown method {method!r}")
 
 

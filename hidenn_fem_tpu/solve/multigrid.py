@@ -189,8 +189,13 @@ def _setup_level(model, grid: StructuredGrid, coords: jax.Array,
                            jnp.arange(8))
     dinv = jnp.where(diag > _TINY, 1.0 / jnp.maximum(diag, _TINY), 0.0)
 
-    # lmax(D^{-1} K) via power iteration (deterministic start; 10%
-    # headroom keeps the Chebyshev bound an upper bound)
+    # lmax(D^{-1} K) via power iteration (deterministic start).  The
+    # 30% headroom is NOT optional tuning: Chebyshev smoothing with an
+    # UNDERestimated lmax amplifies the top of the spectrum — measured
+    # as a stall-then-NaN V-cycle at 481x241 where 15 iterations from
+    # this start converged to 2.34 while the true lmax is ~3.0 (other
+    # lattice shapes converged fine).  Overestimating merely smooths a
+    # slightly wider band.
     v0 = jnp.sin(jnp.arange(nx * ny * 2, dtype=coords.dtype)).reshape(
         nx, ny, 2) * jnp.where(diag > _TINY, 1.0, 0.0)
 
@@ -201,7 +206,7 @@ def _setup_level(model, grid: StructuredGrid, coords: jax.Array,
 
     _, nrms = jax.lax.scan(piter, v0 / jnp.maximum(
         jnp.sqrt(jnp.sum(v0 * v0)), _TINY), length=power_iters)
-    lmax = 1.1 * nrms[-1]
+    lmax = 1.3 * nrms[-1]
 
     # the preconditioner must never write outside the operator's range:
     # prolongation into a zero-stiffness DOF (Dirichlet node or hole
@@ -236,7 +241,7 @@ def _build_hierarchy(model, grid, coords, min_size, max_levels,
 
 def build_hierarchy(model, grid: StructuredGrid, coords: jax.Array,
                     min_size: int = 4, max_levels: int = 16,
-                    power_iters: int = 15) -> Tuple[_Level, ...]:
+                    power_iters: int = 30) -> Tuple[_Level, ...]:
     """Coarsen ``grid`` (with the given — possibly r-adapted — pinned
     node coordinates) while the quad lattice divides by 2 and stays at
     least ``min_size`` nodes per axis; set up diagonals and Chebyshev

@@ -118,6 +118,41 @@ def test_shard_map_banded_energy_matches(eight_devices):
                                    rtol=5e-4, atol=1e-9)
 
 
+def test_sharded_cg_displacement_solve(eight_devices):
+    """Distributed Krylov solve: matrix-free CG whose every matvec is
+    the element-sharded banded energy gradient (psum forward,
+    communication-free recompute backward).  The solution must match the
+    single-device CG solve."""
+    mesh = ht.proxy_plate_mesh(nx=33, ny=17)
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    dmesh = sh.device_mesh(8)
+    banded = sh.reband_for_shards(mesh, 8, window_limit=800)
+    loss_fn = sh.shard_map_banded_energy(energy, dmesh)
+    coords0 = params["coords"]
+
+    def u_loss_sharded(p, coords, tri):
+        return loss_fn({"u": p["u"], "coords": coords}, tri)
+
+    def u_loss_single(p, coords, m):
+        return energy({"u": p["u"], "coords": coords}, m)
+
+    up = {"u": params["u"]}
+    sol_sh, h_sh = ht.cg_solve(u_loss_sharded, up,
+                               loss_args=(coords0, banded),
+                               max_iters=600, tol=1e-6)
+    single = dataclasses.replace(mesh, banded=None)
+    sol_ref, _ = ht.cg_solve(u_loss_single, up,
+                             loss_args=(coords0, single),
+                             max_iters=600, tol=1e-6)
+    h = np.asarray(h_sh)
+    assert h[h > 0][-1] <= 1e-6
+    scale = float(jnp.max(jnp.abs(sol_ref["u"])))
+    assert float(jnp.max(jnp.abs(sol_sh["u"] - sol_ref["u"]))) <= (
+        1e-3 * scale)
+
+
 def test_edge_padding_degenerate_zero(setup):
     """Padded (0,0) edges have ds == 0 and contribute nothing."""
     mesh, tp1, params, energy = setup
