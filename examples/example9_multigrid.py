@@ -11,7 +11,7 @@ production structured-grid energy.
 Measured warm on one TPU v5e chip at 921,600 elements (961x481 lattice):
 
 * plain matrix-free CG: 2,190 matvecs, 0.196 s
-* MG-PCG: **14 iterations, 0.048 s** (wall, incl. the ~40 ms tunnel
+* MG-PCG: **15 iterations, 0.047 s** (wall, incl. the ~40 ms tunnel
   scalar fetch), agreeing with CG to 2.1e-7 in max |u| difference
 * hierarchy setup (6 levels, exact colored-probe diagonals + power
   iteration): ~3 s warm, reusable across solves

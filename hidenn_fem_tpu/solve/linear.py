@@ -46,8 +46,10 @@ def _tree_axpy(alpha, x, y):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("loss_fn", "max_iters", "tol"))
-def _cg(loss_fn, max_iters, tol, params, loss_args, dinv=None):
+                   static_argnames=("loss_fn", "max_iters", "tol",
+                                    "atol"))
+def _cg(loss_fn, max_iters, tol, params, loss_args, dinv=None,
+        atol=0.0):
     grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
     g0 = grad_fn(params, *loss_args)
 
@@ -75,7 +77,8 @@ def _cg(loss_fn, max_iters, tol, params, loss_args, dinv=None):
     # needed here.
     def cond(carry):
         i, _, _, _, _, rs = carry[:6]
-        return (i < max_iters) & (rs > (tol * tol) * rs0)
+        return ((i < max_iters) & (rs > (tol * tol) * rs0)
+                & (rs > atol * atol))
 
     def body(carry):
         i, x, r, p, rz, rs, hist = carry
@@ -172,7 +175,7 @@ def jacobi_pcg_solve(loss_fn: Callable, params, loss_args: tuple = (),
 
 
 def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
-             max_iters: int = 500, tol: float = 1e-6
+             max_iters: int = 500, tol: float = 1e-6, atol: float = 0.0
              ) -> Tuple[dict, jax.Array]:
     """Minimize a quadratic loss by conjugate gradients (see module
     docstring) — the direct FEM solve for the fixed-mesh displacement
@@ -188,13 +191,18 @@ def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
       params: initial guess pytree (the solve returns params + K^{-1} r).
       max_iters: Krylov iteration cap; the loop exits at convergence.
       tol: relative-residual stop, ||r|| <= tol * ||r0||.
+      atol: absolute-residual floor (also stops when ||r|| <= atol).
+        float32 residuals stall around 1e-6 relative on these problems
+        — a tighter ``tol`` alone just burns the full iteration cap on
+        noise; set ``atol`` to the known noise floor to exit instead
+        (e.g. when restarting from an already-converged state).
 
     Returns:
       (solution pytree, per-iteration relative residual norms — zero for
       iterations never executed).
     """
     return _cg(loss_fn, int(max_iters), float(tol), params,
-               tuple(loss_args))
+               tuple(loss_args), atol=float(atol))
 
 
 def radapt_cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
