@@ -153,6 +153,30 @@ def test_sharded_cg_displacement_solve(eight_devices):
         1e-3 * scale)
 
 
+def test_sharded_multigrid_matches_single_device(eight_devices):
+    """Multi-chip MG (parallel/sharded_mg.py): fine level row-sharded
+    via dead-row padding, coarse levels replicated — same iteration
+    count and solution as the single-device solve."""
+    from hidenn_fem_tpu.models.structured_grid import (
+        StructuredGridP1, generate_structured_grid)
+    from hidenn_fem_tpu.parallel.sharded_mg import mg_pcg_solve_sharded
+
+    grid = generate_structured_grid(length=2.0, height=1.0, nx=33,
+                                    ny=17)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    sol0, h0 = ht.mg_pcg_solve(model, grid, params, max_iters=40,
+                               tol=1e-6)
+    sol1, h1 = mg_pcg_solve_sharded(model, grid, params, n_devices=8,
+                                    max_iters=40, tol=1e-6)
+    h1 = np.asarray(h1)
+    assert h1[h1 > 0][-1] <= 1e-6
+    it0, it1 = int((np.asarray(h0) > 0).sum()), int((h1 > 0).sum())
+    assert abs(it1 - it0) <= 3, (it0, it1)
+    s = float(jnp.max(jnp.abs(sol0["u"])))
+    assert float(jnp.max(jnp.abs(sol1["u"] - sol0["u"]))) <= 5e-4 * s
+
+
 def test_edge_padding_degenerate_zero(setup):
     """Padded (0,0) edges have ds == 0 and contribute nothing."""
     mesh, tp1, params, energy = setup
