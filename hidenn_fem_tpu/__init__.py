@@ -28,6 +28,7 @@ from .solve.linear import cg_solve, radapt_cg_solve, jacobi_diagonal, \
     jacobi_pcg_solve
 from .solve.multigrid import mg_pcg_solve, build_hierarchy, \
     radapt_mg_solve
-from .solve.auxspace import aux_pcg_solve, build_aux_preconditioner
+from .solve.auxspace import aux_pcg_solve, build_aux_preconditioner, \
+    radapt_aux_solve
 
 __version__ = "0.1.0"

@@ -4,4 +4,5 @@ from .drivers import (minimize, run_optimizer, run_lbfgs, alternating_solve,
 from .linear import (cg_solve, radapt_cg_solve, jacobi_diagonal,
                      jacobi_pcg_solve)
 from .multigrid import mg_pcg_solve, build_hierarchy, radapt_mg_solve
-from .auxspace import aux_pcg_solve, build_aux_preconditioner
+from .auxspace import (aux_pcg_solve, build_aux_preconditioner,
+                       radapt_aux_solve)

@@ -44,7 +44,8 @@ from ..models.structured_grid import StructuredGrid, StructuredGridP1
 from . import multigrid as mg
 from .linear import _tree_axpy, jacobi_diagonal
 
-__all__ = ["build_aux_preconditioner", "aux_pcg_solve"]
+__all__ = ["build_aux_preconditioner", "aux_pcg_solve",
+           "radapt_aux_solve"]
 
 _TINY = 1e-30
 
@@ -288,3 +289,65 @@ def aux_pcg_solve(loss_fn, params, loss_args: tuple = (), mesh=None,
         bg_model = StructuredGridP1(E=10e9, nu=0.3)
     return _aux_pcg(loss_fn, bg_model, int(max_iters), float(tol),
                     u_key, params, tuple(loss_args), pre)
+
+
+def radapt_aux_solve(loss_fn, params, mesh, loss_args: tuple = (),
+                     bg_model: Optional[StructuredGridP1] = None,
+                     outer_epochs: int = 10, pcg_iters: int = 100,
+                     pcg_tol: float = 1e-6, coord_steps: int = 20,
+                     coord_lr: float = 1e-7, u_key: str = "u",
+                     coord_key: str = "coords"
+                     ) -> Tuple[dict, jax.Array]:
+    """r-adaptivity on UNSTRUCTURED meshes with auxiliary-space inner
+    solves: each epoch (1) aux-PCG-solves the displacement system at
+    the current node coordinates, then (2) takes ``coord_steps`` Adam
+    steps on the coordinates (the unstructured analog of
+    ``multigrid.radapt_mg_solve``).
+
+    Per-epoch setup rebuilds only the exact Jacobi DIAGONAL (the
+    coordinates change the stiffness); the background hierarchy and the
+    bilinear transfer tables are built once from the INITIAL geometry
+    and deliberately lag the moving mesh — they only set preconditioner
+    quality, not the solution, and r-adaptive node motion is a small
+    perturbation of the initial layout.
+
+    ``loss_fn(params, *loss_args)`` with ``params = {u_key, coord_key}``
+    must be quadratic in ``params[u_key]`` at fixed coordinates.
+    Returns (params, per-epoch energies at the equilibrated states).
+    """
+    from ..mesh.coloring import color_nodes
+    from . import optimizers as _opt
+    from .drivers import run_optimizer
+    from .linear import jacobi_diagonal
+
+    if bg_model is None:
+        bg_model = StructuredGridP1(E=10e9, nu=0.3)
+    opt_c = _opt.freeze_groups(_opt.adam(coord_lr), [u_key])
+    colors = color_nodes(np.asarray(mesh.connectivity), mesh.n_nodes)
+
+    def u_loss(pu, coords, *a):
+        return loss_fn({u_key: pu[u_key], coord_key: coords}, *a)
+
+    pre = None
+    energies = []
+    for _ in range(outer_epochs):
+        coords0 = params[coord_key]
+        up = {u_key: params[u_key]}
+        args = (coords0,) + tuple(loss_args)
+        if pre is None:
+            pre = build_aux_preconditioner(
+                u_loss, up, args, mesh, bg_model=bg_model,
+                node_colors=colors, u_key=u_key)
+        else:                       # refresh only the exact diagonal
+            diag = jacobi_diagonal(u_loss, up, args, colors)[u_key]
+            dinv = jnp.where(diag > _TINY,
+                             1.0 / jnp.maximum(diag, _TINY), 0.0)
+            pre = dataclasses.replace(pre, dinv=dinv)
+        pu, _ = aux_pcg_solve(u_loss, up, args, pre=pre,
+                              bg_model=bg_model, max_iters=pcg_iters,
+                              tol=pcg_tol, u_key=u_key)
+        params = {u_key: pu[u_key], coord_key: coords0}
+        energies.append(loss_fn(params, *loss_args))
+        params, _ = run_optimizer(loss_fn, params, opt_c, coord_steps,
+                                  tuple(loss_args))
+    return params, jnp.stack(energies)

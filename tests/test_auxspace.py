@@ -9,7 +9,8 @@ import numpy as np
 import hidenn_fem_tpu as ht
 from hidenn_fem_tpu.models.structured_grid import StructuredGridP1
 from hidenn_fem_tpu.solve.auxspace import (aux_pcg_solve,
-                                           build_aux_preconditioner)
+                                           build_aux_preconditioner,
+                                           radapt_aux_solve)
 
 
 def _plate(nx=33, ny=17, holes=()):
@@ -86,6 +87,27 @@ def test_example10_small():
     sol, hist = example10_auxspace.main(nx=33, ny=17)
     h = np.asarray(hist)
     assert h[h > 0][-1] <= 1e-6
+
+
+def test_radapt_aux_improves_energy():
+    """Alternating exact aux-PCG solves with coordinate steps lowers
+    the equilibrated energy monotonically and moves the mesh (the
+    unstructured r-adaptivity driver)."""
+    mesh, params, _ = _plate(nx=17, ny=9)
+    model = ht.TriangleP1()
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def loss(p, m):
+        return energy(p, m)
+
+    pf, energies = radapt_aux_solve(
+        loss, params, mesh, loss_args=(mesh,),
+        bg_model=StructuredGridP1(E=10e9, nu=0.3), outer_epochs=3,
+        pcg_iters=60, coord_steps=10, coord_lr=1e-4)
+    e = np.asarray(energies)
+    assert np.all(np.isfinite(e))
+    assert np.all(e[1:] <= e[:-1] + 1e-6 * np.abs(e[:-1]))
+    assert float(jnp.max(jnp.abs(pf["coords"] - params["coords"]))) > 0
 
 
 def test_aux_preconditioner_reuse():
