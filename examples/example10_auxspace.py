@@ -65,6 +65,7 @@ def main(nx: int = 961, ny: int = 481):
     t0 = time.time()
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
                                  bg_model=bg, max_iters=100, tol=1e-6)
+    np.asarray(hist)          # materialize: dispatch alone is async
     print(f"warm solve: {time.time() - t0:.3f}s")
     return sol, h
 

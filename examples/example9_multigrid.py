@@ -58,6 +58,7 @@ def main(nx: int = 961, ny: int = 481, radapt_epochs: int = 0):
     t0 = time.time()
     sol, hist = ht.mg_pcg_solve(model, grid, params, max_iters=40,
                                 tol=1e-6, levels=levels)
+    np.asarray(hist)          # materialize: dispatch alone is async
     print(f"warm solve: {time.time() - t0:.3f}s")
 
     if radapt_epochs:
