@@ -133,6 +133,24 @@ def test_hierarchy_reuse():
     assert float(jnp.max(jnp.abs(sol2["u"] - sol1["u"]))) <= 3e-4 * scale
 
 
+def test_mg_float64_deep_convergence():
+    """The solver stack is dtype-generic: under x64 the MG-PCG solve
+    converges far below the float32 residual floor (~1e-6 rel)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        grid = generate_structured_grid(length=2.0, height=1.0, nx=17,
+                                        ny=9)
+        model = StructuredGridP1(E=10e9, nu=0.3, dtype=jnp.float64)
+        params = model.init(jax.random.PRNGKey(0), grid)
+        sol, hist = mg_pcg_solve(model, grid, params, max_iters=60,
+                                 tol=1e-10)
+        h = np.asarray(hist)
+        assert sol["u"].dtype == jnp.float64
+        assert h[h > 0][-1] <= 1e-10
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_example9_small():
     from examples import example9_multigrid
     sol, hist = example9_multigrid.main(nx=33, ny=17)
