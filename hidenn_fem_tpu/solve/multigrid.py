@@ -58,10 +58,14 @@ def coarsen_grid(grid: StructuredGrid) -> Optional[StructuredGrid]:
     """One geometric coarsening step (``None`` if the quad lattice is not
     2-divisible).  Only the operator-relevant fields matter on coarse
     levels: coords (sampled), Dirichlet mask (sampled — a coarse node is
-    pinned iff its fine image is), and the quad mask (a coarse quad is
-    active iff all 4 fine quads under it are, so hole rims stay frozen).
-    Neumann data is dropped: the traction is linear in u, so it shifts
-    the RHS but not K, and the preconditioner only needs K.
+    pinned iff its fine image is), and the quad mask, coarsened by
+    VOLUME FRACTION (mean of the 4 fine quads): hole rims get
+    fractionally-stiff coarse quads, so rim nodes still receive coarse
+    correction — the conservative all-active (min) rule starved them
+    and cost 36 vs 15 PCG iterations on a 3-hole plate (measured; the
+    rules agree exactly on hole-free grids).  Neumann data is dropped:
+    the traction is linear in u, so it shifts the RHS but not K, and
+    the preconditioner only needs K.
     """
     nx, ny = grid.nx, grid.ny
     if nx < 3 or ny < 3 or (nx - 1) % 2 or (ny - 1) % 2:
@@ -74,7 +78,7 @@ def coarsen_grid(grid: StructuredGrid) -> Optional[StructuredGrid]:
         coords=grid.coords[::2, ::2],
         geom_boundary_mask=grid.geom_boundary_mask[::2, ::2],
         dirichlet_mask=grid.dirichlet_mask[::2, ::2],
-        quad_mask=jnp.min(qm, axis=(1, 3)),
+        quad_mask=jnp.mean(qm, axis=(1, 3)),
         neumann_edge_masks={},
         u_dirichlet=None,
         split=grid.split,

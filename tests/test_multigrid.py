@@ -49,10 +49,11 @@ def test_coarsen_grid_masks():
     grid, _, _ = _setup(nx=17, ny=9, holes=((1.0, 0.5, 0.12),))
     gc = coarsen_grid(grid)
     assert (gc.nx, gc.ny) == (9, 5)
-    # coarse quad active only if all four fine quads under it are
+    # volume-fraction coarsening: coarse quad weight = mean of its four
+    # fine quads (rim quads fractionally stiff, hole interiors dead)
     qm = np.asarray(grid.quad_mask).reshape(8, 2, 4, 2)
-    np.testing.assert_array_equal(np.asarray(gc.quad_mask),
-                                  qm.min(axis=(1, 3)))
+    np.testing.assert_allclose(np.asarray(gc.quad_mask),
+                               qm.mean(axis=(1, 3)))
     # Dirichlet/geom masks are subsampled
     np.testing.assert_array_equal(np.asarray(gc.dirichlet_mask),
                                   np.asarray(grid.dirichlet_mask)[::2, ::2])
