@@ -153,7 +153,8 @@ def jacobi_diagonal(loss_fn: Callable, params, loss_args: tuple,
 
 def jacobi_pcg_solve(loss_fn: Callable, params, loss_args: tuple = (),
                      mesh=None, node_colors=None, max_iters: int = 500,
-                     tol: float = 1e-6) -> Tuple[dict, jax.Array]:
+                     tol: float = 1e-6, atol: float = 0.0
+                     ) -> Tuple[dict, jax.Array]:
     """Jacobi-preconditioned CG: ``cg_solve`` with ``M = diag(K)``
     extracted exactly by colored probing.  Pass either a ``TriMesh``
     (colors computed from its connectivity — native C++ when built) or a
@@ -171,7 +172,7 @@ def jacobi_pcg_solve(loss_fn: Callable, params, loss_args: tuple = (),
         lambda d: jnp.where(d > tiny, 1.0 / jnp.maximum(d, tiny), 0.0),
         diag)
     return _cg(loss_fn, int(max_iters), float(tol), params,
-               tuple(loss_args), dinv=dinv)
+               tuple(loss_args), dinv=dinv, atol=float(atol))
 
 
 def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
