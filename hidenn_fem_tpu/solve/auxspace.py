@@ -318,15 +318,15 @@ def radapt_aux_solve(loss_fn, params, mesh, loss_args: tuple = (),
     from ..mesh.coloring import color_nodes
     from . import optimizers as _opt
     from .drivers import run_optimizer
-    from .linear import jacobi_diagonal
+    from .linear import jacobi_diagonal, _u_loss_for
 
     if bg_model is None:
         bg_model = StructuredGridP1(E=10e9, nu=0.3)
     opt_c = _opt.freeze_groups(_opt.adam(coord_lr), [u_key])
     colors = color_nodes(np.asarray(mesh.connectivity), mesh.n_nodes)
-
-    def u_loss(pu, coords, *a):
-        return loss_fn({u_key: pu[u_key], coord_key: coords}, *a)
+    # memoized: a fresh closure per call would recompile the whole
+    # solver each call (jit keys on function identity)
+    u_loss = _u_loss_for(loss_fn, u_key, coord_key)
 
     pre = None
     energies = []

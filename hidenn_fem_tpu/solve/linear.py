@@ -206,6 +206,19 @@ def cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
                tuple(loss_args), atol=float(atol))
 
 
+@functools.lru_cache(maxsize=64)
+def _u_loss_for(loss_fn, u_key, coord_key):
+    """Memoized displacement-only adapter of ``loss_fn``.
+
+    jit caches key on function identity, so building this closure fresh
+    per driver call would force a FULL solver recompile on every call
+    (measured ~200 s at 922K) — the same lesson as the memoized
+    optimizer constructors (``solve/optimizers.py``)."""
+    def u_loss(pu, coords, *a):
+        return loss_fn({u_key: pu[u_key], coord_key: coords}, *a)
+    return u_loss
+
+
 def radapt_cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
                     outer_epochs: int = 10, cg_iters: int = 400,
                     cg_tol: float = 1e-6, coord_steps: int = 20,
@@ -232,9 +245,7 @@ def radapt_cg_solve(loss_fn: Callable, params, loss_args: tuple = (),
     from .drivers import run_optimizer
 
     opt_c = _opt.freeze_groups(_opt.adam(coord_lr), [u_key])
-
-    def u_loss(pu, coords, *a):
-        return loss_fn({u_key: pu[u_key], coord_key: coords}, *a)
+    u_loss = _u_loss_for(loss_fn, u_key, coord_key)
 
     energies = []
     for _ in range(outer_epochs):

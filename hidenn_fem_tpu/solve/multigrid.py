@@ -386,6 +386,15 @@ def mg_pcg_solve(model, grid: StructuredGrid, params,
                    float(tol), int(nu), int(coarse_degree))
 
 
+@functools.lru_cache(maxsize=64)
+def _model_loss(model):
+    """Memoized ``model.total`` adapter (a fresh closure per driver call
+    would recompile the coordinate-step scan on every call)."""
+    def loss(p, g):
+        return model(p, g)
+    return loss
+
+
 def radapt_mg_solve(model, grid: StructuredGrid, params,
                     outer_epochs: int = 10, mg_iters: int = 40,
                     mg_tol: float = 1e-6, coord_steps: int = 20,
@@ -404,9 +413,7 @@ def radapt_mg_solve(model, grid: StructuredGrid, params,
     from .drivers import run_optimizer
 
     opt_c = _opt.freeze_groups(_opt.adam(coord_lr), ["u"])
-
-    def loss(p, g):
-        return model(p, g)
+    loss = _model_loss(model)   # memoized: jit keys on function identity
 
     energies = []
     for _ in range(outer_epochs):
