@@ -16,7 +16,7 @@ Measured warm on one TPU v5e chip, 921,600 unstructured elements
 (463K nodes, blocked-window assembly path):
 
 * plain matrix-free CG: 2,190 iterations, 40.0 s
-* auxiliary-space PCG: **21 iterations, 0.84 s** — 48x
+* auxiliary-space PCG: **21 iterations, 0.70 s** — 57x
 
 Run: ``python -m examples.example10_auxspace [nx ny]``
 """

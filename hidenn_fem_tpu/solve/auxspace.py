@@ -63,6 +63,15 @@ class _AuxPrecond:
     pt_idx: jax.Array             # [Nb*D] fine-node ids (+N sentinel)
     pt_w: jax.Array               # [Nb, D] weights (0 on pad)
     free: jax.Array               # [N, 1] float 1/0 non-Dirichlet fine
+    # optional blocked-window P^T tables (see _windowed_pt): above ~256K
+    # rows the flat fine-node table crosses the TPU gather row-rate
+    # cliff (~2.5x slower); when the fine numbering is local enough,
+    # each bg-row block reads a dynamic-sliced window instead.
+    ptw_rel: Optional[jax.Array] = None    # [BB, R, D] window-relative
+    ptw_w: Optional[jax.Array] = None      # [BB, R, D] weights
+    ptw_starts: Optional[jax.Array] = None  # [BB] window starts
+    ptw_width: int = dataclasses.field(metadata=dict(static=True),
+                                       default=0)
     omega: float = dataclasses.field(metadata=dict(static=True),
                                      default=0.5)
 
@@ -149,6 +158,48 @@ def _transfer_tables(coords: np.ndarray, grid_np) -> Tuple[np.ndarray,
     return corners, weights, pt_idx, pt_w
 
 
+def _windowed_pt(pt_idx: np.ndarray, pt_w: np.ndarray, n: int,
+                 bg_nx: int, bg_ny: int, window_limit: int = 65536):
+    """Blocked-window form of the P^T tables (numpy, one-time setup).
+
+    Groups background-lattice rows into ~64 blocks; if every block's
+    referenced fine nodes fit a ``window_limit`` contiguous range (true
+    for locality-preserving fine numberings like the structured
+    generators'), returns (rel [BB, R, D], w [BB, R, D], starts [BB],
+    width) with sentinel entries pointing at the appended zeros row.
+    Returns None when the numbering is too scattered (flat fallback).
+    """
+    d = pt_w.shape[1]
+    idx2 = pt_idx.reshape(bg_nx, bg_ny * d)
+    gb = max(1, bg_nx // 64)
+    bb = -(-bg_nx // gb)
+    real = idx2 != n
+    width = 0
+    starts = np.zeros(bb, np.int32)
+    for blk in range(bb):
+        rows = idx2[blk * gb:(blk + 1) * gb]
+        rr = rows[real[blk * gb:(blk + 1) * gb]]
+        lo, hi = (int(rr.min()), int(rr.max())) if rr.size else (0, 0)
+        starts[blk] = lo
+        width = max(width, hi - lo + 1)
+    if width > window_limit:
+        return None
+    width = min(width, n)
+    r = gb * bg_ny
+    rel = np.full((bb, r, d), width, np.int64)
+    w_out = np.zeros((bb, r, d), pt_w.dtype)
+    w2 = pt_w.reshape(bg_nx, bg_ny, d)
+    for blk in range(bb):
+        s = min(int(starts[blk]), n - width)
+        starts[blk] = s
+        rows = idx2[blk * gb:(blk + 1) * gb].reshape(-1, d)
+        rel[blk, :rows.shape[0]] = np.where(rows != n, rows - s, width)
+        w_out[blk, :rows.shape[0]] = w2[
+            blk * gb:(blk + 1) * gb].reshape(-1, d)
+    return (jnp.asarray(rel), jnp.asarray(w_out),
+            jnp.asarray(starts), int(width))
+
+
 def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
                              bg_model: Optional[StructuredGridP1] = None,
                              bg_shape: Optional[Tuple[int, int]] = None,
@@ -195,23 +246,50 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
     dinv = jnp.where(d > _TINY, 1.0 / jnp.maximum(d, _TINY), 0.0)
     free = 1.0 - np.asarray(dirichlet, np.float32)[:, None]
 
+    win = (_windowed_pt(pt_idx, pt_w, n, bg_nx, bg_ny)
+           if n > 200_000 else None)   # flat tables stay below the
+    # gather row-rate cliff at small scale; windows only pay above it
+    ptw_rel, ptw_w, ptw_starts, ptw_width = (
+        win if win is not None else (None, None, None, 0))
+
     return _AuxPrecond(
         levels=levels, grid=grid, dinv=dinv,
         p_idx=jnp.asarray(p_idx.reshape(-1)),
         p_w=jnp.asarray(p_w),
         pt_idx=jnp.asarray(pt_idx.reshape(-1)),
         pt_w=jnp.asarray(pt_w),
-        free=jnp.asarray(free), omega=float(omega))
+        free=jnp.asarray(free),
+        ptw_rel=ptw_rel, ptw_w=ptw_w, ptw_starts=ptw_starts,
+        ptw_width=ptw_width, omega=float(omega))
 
 
 def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
     """M^{-1} r (see module docstring); [N, 2] in and out."""
     nb_nx, nb_ny = pre.grid.nx, pre.grid.ny
-    # P^T r: background residual via the fine-node incidence gather
-    r_pad = jnp.concatenate([r * pre.free, jnp.zeros((1, 2), r.dtype)])
-    gath = r_pad[pre.pt_idx].reshape(*pre.pt_w.shape, 2)
-    r_bg = jnp.sum(pre.pt_w[..., None] * gath, axis=1).reshape(
-        nb_nx, nb_ny, 2)
+    rf = r * pre.free
+    if pre.ptw_rel is not None:
+        # blocked-window P^T: each bg-row block gathers from a
+        # dynamic-sliced fine window (below the gather row-rate cliff)
+        w = pre.ptw_width
+
+        def body(_, inp):
+            rel, wts, s = inp
+            win = jax.lax.dynamic_slice(rf, (s, 0), (w, 2))
+            win = jnp.concatenate(
+                [win, jnp.zeros((1, 2), rf.dtype)], axis=0)
+            g = win[rel.reshape(-1)].reshape(*rel.shape, 2)
+            return None, jnp.sum(wts[..., None] * g, axis=1)
+
+        _, out = jax.lax.scan(
+            body, None, (pre.ptw_rel, pre.ptw_w, pre.ptw_starts))
+        r_bg = out.reshape(-1, 2)[:nb_nx * nb_ny].reshape(
+            nb_nx, nb_ny, 2)
+    else:
+        # flat P^T: fine-node incidence gather
+        r_pad = jnp.concatenate([rf, jnp.zeros((1, 2), r.dtype)])
+        gath = r_pad[pre.pt_idx].reshape(*pre.pt_w.shape, 2)
+        r_bg = jnp.sum(pre.pt_w[..., None] * gath, axis=1).reshape(
+            nb_nx, nb_ny, 2)
     # one V-cycle of the background operator
     z_bg = mg.vcycle(bg_model, pre.levels, r_bg,
                      g0s=g0s).reshape(-1, 2)

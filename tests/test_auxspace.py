@@ -145,6 +145,39 @@ def test_aux_pcg_node_order_invariant():
         solB["u"] - solA["u"][inv]))) <= 5e-4 * s
 
 
+def test_windowed_pt_matches_flat():
+    """The blocked-window P^T (activated above the TPU gather row-rate
+    cliff) is numerically identical to the flat incidence gather."""
+    import dataclasses
+    from hidenn_fem_tpu.solve import auxspace as ax
+
+    mesh, params, loss = _plate()
+    up = {"u": params["u"]}
+    args = (params["coords"], mesh)
+    bg = StructuredGridP1(E=10e9, nu=0.3)
+    pre = ax.build_aux_preconditioner(loss, up, args, mesh, bg_model=bg)
+    assert pre.ptw_rel is None         # small scale stays flat
+    n = mesh.n_nodes
+    pt_idx = np.asarray(pre.pt_idx).reshape(pre.pt_w.shape)
+    win = ax._windowed_pt(pt_idx, np.asarray(pre.pt_w), n,
+                          pre.grid.nx, pre.grid.ny)
+    assert win is not None
+    preW = dataclasses.replace(pre, ptw_rel=win[0], ptw_w=win[1],
+                               ptw_starts=win[2], ptw_width=win[3])
+    rng = np.random.RandomState(0)
+    r = jnp.asarray(rng.randn(n, 2).astype(np.float32))
+    zA = ax._apply_aux(bg, pre, r)
+    zB = ax._apply_aux(bg, preW, r)
+    s = float(jnp.max(jnp.abs(zA)))
+    assert float(jnp.max(jnp.abs(zA - zB))) <= 1e-6 * s
+    solA, _ = aux_pcg_solve(loss, up, args, pre=pre, bg_model=bg,
+                            max_iters=100, tol=1e-6)
+    solB, _ = aux_pcg_solve(loss, up, args, pre=preW, bg_model=bg,
+                            max_iters=100, tol=1e-6)
+    s = float(jnp.max(jnp.abs(solA["u"])))
+    assert float(jnp.max(jnp.abs(solA["u"] - solB["u"]))) <= 1e-5 * s
+
+
 def test_aux_preconditioner_reuse():
     mesh, params, loss = _plate(nx=21, ny=11)
     up = {"u": params["u"]}
