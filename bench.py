@@ -31,6 +31,37 @@ import jax
 
 BASELINE_QP_PER_S = 8.36e5  # measured reference, BASELINE.md row 3
 
+# TPU v5e single-chip peaks for the roofline rows (public spec)
+HBM_PEAK_GBPS = 819.0
+MXU_PEAK_BF16_TFLOPS = 197.0
+
+# Analytic FLOPs per P1 element, fwd+bwd: ~45 forward (corner diffs,
+# det, inverse, 3 strains, energy density, weighting) and ~2x that for
+# the backward — a counting-model constant, not a measurement.
+FLOPS_PER_ELEMENT_FWD_BWD = 135.0
+
+
+def _roofline(dt_s: float, bytes_lb: float, flops: float) -> dict:
+    """Roofline honesty row: achieved bandwidth/compute vs v5e peaks.
+
+    ``bytes_lb`` is a LOWER-BOUND traffic model (params + index tables
+    read once, gradients written once — real traffic adds halo/recompute
+    overlap and XLA intermediates), so pct_hbm_peak is a lower bound on
+    how bandwidth-bound the step is.  The element math runs on the VPU
+    (scalar-wise, no matmuls), so the MXU bf16 peak is reported only to
+    show the workload is nowhere near compute-bound: HBM is the binding
+    roof."""
+    return {
+        "model_bytes_per_step": int(bytes_lb),
+        "achieved_GB_per_s_lb": float(f"{bytes_lb / dt_s / 1e9:.4g}"),
+        "pct_hbm_peak_lb": float(
+            f"{bytes_lb / dt_s / 1e9 / HBM_PEAK_GBPS * 100:.3g}"),
+        "model_flops_per_step": int(flops),
+        "achieved_TFLOPs": float(f"{flops / dt_s / 1e12:.4g}"),
+        "pct_mxu_bf16_peak": float(
+            f"{flops / dt_s / 1e12 / MXU_PEAK_BF16_TFLOPS * 100:.3g}"),
+    }
+
 
 def bench_6k(ht, slope_time_scan):
     mesh = ht.proxy_plate_mesh(nx=81, ny=41)       # 6,400 elements
@@ -60,7 +91,20 @@ def bench_922k_banded(ht, slope_time_scan):
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
         return p, val
 
-    return slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
+    dt = slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
+    # traffic lower bound: packed nodes read once, banded index tables
+    # read once, both gradient arrays written once (f32/int32 = 4 B)
+    ba = mesh.banded
+    n_nodes = mesh.n_nodes
+    idx_bytes = 4 * sum(
+        t.size for t in (ba.re_conn_rel, ba.re_inc_rel)
+        if t is not None) if ba.re_conn_rel is not None else \
+        4 * (ba.conn_rel.size + ba.inc_rel.size)
+    bytes_lb = 4 * (n_nodes * 4            # packed (cx, cy, ux, uy) read
+                    + 2 * n_nodes * 4)     # coords+u grads written
+    bytes_lb += idx_bytes
+    flops = FLOPS_PER_ELEMENT_FWD_BWD * mesh.n_elements
+    return dt, _roofline(dt, bytes_lb, flops)
 
 
 def bench_922k_structured(ht, slope_time_scan):
@@ -76,7 +120,14 @@ def bench_922k_structured(ht, slope_time_scan):
         p = jax.tree.map(lambda x, gr: x - 1e-15 * gr, p, grads)
         return p, val
 
-    return slope_time_scan(step, params, n1=50, n2=550, args=(grid,))
+    dt = slope_time_scan(step, params, n1=50, n2=550, args=(grid,))
+    # traffic lower bound: coords+u read, both grads written, quad mask
+    # read (gather-free path: no index tables at all)
+    nn = grid.nx * grid.ny
+    bytes_lb = 4 * (2 * nn * 2 + 2 * nn * 2
+                    + (grid.nx - 1) * (grid.ny - 1))
+    flops = FLOPS_PER_ELEMENT_FWD_BWD * 2 * (grid.nx - 1) * (grid.ny - 1)
+    return dt, _roofline(dt, bytes_lb, flops)
 
 
 def bench_plate_solve(ht):
@@ -149,15 +200,17 @@ def main():
     except Exception as e:
         extra["plate_lbfgs600_error"] = repr(e)[:200]
     try:
-        dt_banded = bench_922k_banded(ht, slope_time_scan)
+        dt_banded, roof_b = bench_922k_banded(ht, slope_time_scan)
         extra["banded_922k_ms_per_step_fwd_bwd"] = float(
             f"{dt_banded * 1e3:.4g}")
+        extra["roofline_banded_922k"] = roof_b
     except Exception as e:        # keep the headline alive regardless
         extra["banded_922k_error"] = repr(e)[:200]
     try:
-        dt_sg = bench_922k_structured(ht, slope_time_scan)
+        dt_sg, roof_s = bench_922k_structured(ht, slope_time_scan)
         extra["structured_922k_us_per_step_fwd_bwd"] = float(
             f"{dt_sg * 1e6:.4g}")
+        extra["roofline_structured_922k"] = roof_s
     except Exception as e:
         extra["structured_922k_error"] = repr(e)[:200]
     try:

@@ -41,15 +41,50 @@ def _adjacency(connectivity: np.ndarray, n_nodes: int):
 
 def _greedy_color_numpy(connectivity: np.ndarray, n_nodes: int
                         ) -> np.ndarray:
+    """Vectorized Jones–Plassmann greedy coloring.
+
+    Rounds instead of a per-node Python loop (which took minutes at
+    ~463K nodes): each round colors every uncolored node whose random
+    priority beats all its uncolored neighbours, with the smallest color
+    absent from its colored neighbourhood — computed for ALL nodes at
+    once with a uint64 forbidden-color bitmask (meshes color in 4-8, so
+    64 bits is plenty; the assert guards the theoretical overflow).
+    Expected O(log n) rounds, each O(E) numpy work.
+    """
     offsets, adj = _adjacency(connectivity, n_nodes)
+    deg = np.diff(offsets)
+    nonempty = deg > 0          # reduceat misreads empty segments
+    starts = offsets[:-1]
     colors = np.full(n_nodes, -1, dtype=np.int32)
-    for i in range(n_nodes):
-        used = {colors[j] for j in adj[offsets[i]:offsets[i + 1]]
-                if colors[j] >= 0}
-        c = 0
-        while c in used:
-            c += 1
-        colors[i] = c
+    rng = np.random.default_rng(0)
+    prio = rng.permutation(n_nodes).astype(np.int64)
+    uncolored = colors < 0
+    while uncolored.any():
+        # forbidden colors from already-colored neighbours (segment
+        # reductions over the CSR layout: ~20x faster than ufunc.at)
+        nb_col = colors[adj]
+        bits = np.where(nb_col >= 0,
+                        np.uint64(1) << nb_col.astype(np.uint64),
+                        np.uint64(0))
+        forbid = np.zeros(n_nodes, np.uint64)
+        forbid[nonempty] = np.bitwise_or.reduceat(
+            bits, starts[nonempty])
+        # local priority maxima among uncolored nodes get colored
+        nb_prio = np.where(uncolored[adj], prio[adj], np.int64(-1))
+        best = np.full(n_nodes, -1, dtype=np.int64)
+        best[nonempty] = np.maximum.reduceat(nb_prio, starts[nonempty])
+        win = uncolored & (prio > best)
+        # smallest free color = index of the lowest zero bit of forbid
+        low = ~forbid & (forbid + np.uint64(1))
+        assert not np.any(win & (low == 0)), "coloring needs >63 colors"
+        c = np.zeros(n_nodes, np.int32)
+        lw = low[win]
+        for shift in (32, 16, 8, 4, 2, 1):
+            hi = lw >= (np.uint64(1) << np.uint64(shift))
+            c[win] += np.where(hi, shift, 0).astype(np.int32)
+            lw = np.where(hi, lw >> np.uint64(shift), lw)
+        colors[win] = c[win]
+        uncolored = colors < 0
     return colors
 
 

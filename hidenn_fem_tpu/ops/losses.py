@@ -212,6 +212,36 @@ class PlaneStressEnergy:
                        dtype=x.dtype)
         return jnp.stack([t_x, jnp.zeros_like(t_x)], axis=1)
 
+    def _body_work_gathered(self, g: jax.Array, pts: jax.Array,
+                            w: jax.Array) -> jax.Array:
+        """Body-force work  sum_e |detJ_e| sum_q w_q b(x_q).u(x_q)  from
+        an already-gathered [rows, 3, 4] corner array (cx, cy, ux, uy).
+
+        The fast-path body-force term: everything (quadrature points,
+        interpolated u, |detJ|) comes from the packed corners the elastic
+        term gathered anyway, so a body force costs one extra elementwise
+        pass — NOT the general path's per-quad-point connectivity gathers
+        (which made ``body_force != None`` a silent ~2x step-time cliff
+        at scale).  Padding rows (banded layouts) have degenerate
+        corners, detJ = 0, and so contribute exactly nothing.
+        Matches ``/root/reference/src/loss.py:80-88`` with physical-point
+        evaluation (quirk E8 corrected; this path requires
+        ``compat == "exact"``)."""
+        v0, v1, v2 = g[:, 0, :], g[:, 1, :], g[:, 2, :]
+        det = ((v0[:, 0] - v2[:, 0]) * (v1[:, 1] - v2[:, 1])
+               - (v1[:, 0] - v2[:, 0]) * (v0[:, 1] - v2[:, 1]))
+        xi = pts[None, :, 0, None]                     # [1, ng, 1]
+        eta = pts[None, :, 1, None]
+        lam = 1.0 - xi - eta
+        xq = (xi * v0[:, None, 0:2] + eta * v1[:, None, 0:2]
+              + lam * v2[:, None, 0:2])               # [rows, ng, 2]
+        uq = (xi * v0[:, None, 2:4] + eta * v1[:, None, 2:4]
+              + lam * v2[:, None, 2:4])
+        b = self.body_force(xq.reshape(-1, 2)).reshape(uq.shape)
+        return jnp.sum(jnp.abs(det)
+                       * jnp.sum(w[None, :] * jnp.sum(b * uq, axis=2),
+                                 axis=1))
+
     # ------------------------------------------------------------- domain
     def domain_energy(self, params, mesh: TriMesh) -> jax.Array:
         """Elastic strain energy minus body-force work
@@ -273,14 +303,7 @@ class PlaneStressEnergy:
                     backend == "pallas_interpret")
                 if self.body_force is None:
                     return elastic
-                det, _ = self.model.element_fields(params, mesh)
-                x_ref = jnp.tile(pts, (n_elem, 1))
-                elem_id = jnp.repeat(jnp.arange(n_elem), ng)
-                u_q = self.model.interpolate(params, mesh, x_ref, elem_id)
-                b = self.body_force(self._quad_points(params, mesh, x_ref,
-                                                      elem_id))
-                qw = jnp.tile(w, (n_elem,)) * jnp.repeat(jnp.abs(det), ng)
-                return elastic - jnp.sum(qw * jnp.sum(b * u_q, axis=1))
+                return elastic - self._body_work_gathered(g, pts, w)
             v0, v1, v2 = g[:, 0, :], g[:, 1, :], g[:, 2, :]
             ax = v0[:, 0] - v2[:, 0]
             ay = v0[:, 1] - v2[:, 1]
@@ -303,13 +326,7 @@ class PlaneStressEnergy:
             elastic = jnp.sum(w) * jnp.sum(jnp.abs(det) * dens)
             if self.body_force is None:
                 return elastic
-            x_ref = jnp.tile(pts, (n_elem, 1))            # [Ne*ng, 2]
-            elem_id = jnp.repeat(jnp.arange(n_elem), ng)
-            u_q = self.model.interpolate(params, mesh, x_ref, elem_id)
-            b = self.body_force(self._quad_points(params, mesh, x_ref,
-                                                  elem_id))
-            qw = jnp.tile(w, (n_elem,)) * jnp.repeat(jnp.abs(det), ng)
-            return elastic - jnp.sum(qw * jnp.sum(b * u_q, axis=1))
+            return elastic - self._body_work_gathered(g, pts, w)
 
         # general quadrature path — the reference's exact hot loop shape
         # (also used for compat="reference", where the quirks live)

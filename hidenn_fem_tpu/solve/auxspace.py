@@ -74,6 +74,12 @@ class _AuxPrecond:
                                        default=0)
     omega: float = dataclasses.field(metadata=dict(static=True),
                                      default=0.5)
+    # the background model the hierarchy was BUILT with (static — frozen
+    # hashable dataclass): the V-cycle must run the same operator as the
+    # stored dinv/lmax, so solves take it from here instead of trusting
+    # the caller to re-pass a matching one.
+    bg_model: Optional["StructuredGridP1"] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def _bg_lattice(coords: np.ndarray, dirichlet: np.ndarray,
@@ -260,7 +266,7 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
         pt_w=jnp.asarray(pt_w),
         free=jnp.asarray(free),
         ptw_rel=ptw_rel, ptw_w=ptw_w, ptw_starts=ptw_starts,
-        ptw_width=ptw_width, omega=float(omega))
+        ptw_width=ptw_width, omega=float(omega), bg_model=bg_model)
 
 
 def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
@@ -300,10 +306,11 @@ def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "bg_model",
-                                             "max_iters", "tol",
-                                             "u_key"))
+                                             "max_iters", "u_key"))
 def _aux_pcg(loss_fn, bg_model, max_iters, tol, u_key, params,
              loss_args, pre):
+    # tol is a traced scalar (while_loop condition only): changing the
+    # tolerance must not recompile the solver.
     grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
     g0 = grad_fn(params, *loss_args)
 
@@ -363,7 +370,17 @@ def aux_pcg_solve(loss_fn, params, loss_args: tuple = (), mesh=None,
         pre = build_aux_preconditioner(
             loss_fn, params, tuple(loss_args), mesh, bg_model=bg_model,
             bg_shape=bg_shape, u_key=u_key)
-    if bg_model is None:
+    # the V-cycle must use the model the hierarchy was built with: a
+    # mismatched operator vs the stored dinv/lmax silently degrades
+    # convergence (the solution stays correct — M stays SPD)
+    if pre.bg_model is not None:
+        if bg_model is not None and bg_model != pre.bg_model:
+            raise ValueError(
+                "bg_model does not match the model the preconditioner "
+                "was built with; rebuild with build_aux_preconditioner"
+                f" (got {bg_model!r}, built with {pre.bg_model!r})")
+        bg_model = pre.bg_model
+    elif bg_model is None:
         bg_model = StructuredGridP1(E=10e9, nu=0.3)
     return _aux_pcg(loss_fn, bg_model, int(max_iters), float(tol),
                     u_key, params, tuple(loss_args), pre)

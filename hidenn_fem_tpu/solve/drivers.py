@@ -23,7 +23,29 @@ import optax
 
 from . import optimizers as _opt
 
-__all__ = ["minimize", "run_optimizer", "run_lbfgs"]
+__all__ = ["minimize", "run_optimizer", "run_lbfgs", "MinimizeResult"]
+
+
+class MinimizeResult(tuple):
+    """Result of :func:`minimize` — unpacks like the 2-tuple
+    ``(params, history)`` every driver returns, plus a ``kind``
+    attribute naming what ``history`` holds: ``"loss"`` (per-step loss,
+    methods adam/lbfgs) or ``"relres"`` (per-iteration relative residual
+    norms, methods cg/jacobi_cg).  Callers that plot the history
+    uniformly should branch on ``result.kind``."""
+
+    def __new__(cls, params, history, kind):
+        obj = super().__new__(cls, (params, history))
+        obj.kind = kind
+        return obj
+
+    @property
+    def params(self):
+        return self[0]
+
+    @property
+    def history(self):
+        return self[1]
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "optimizer",
@@ -199,22 +221,32 @@ def minimize(loss_fn: Callable, params, method: str = "adam",
     ``solve/multigrid.py`` / ``solve/auxspace.py``).
     Large data (meshes) should go in ``loss_args``
     (``loss_fn(params, *loss_args)``) instead of being closed over.
+
+    Returns a :class:`MinimizeResult` — unpacks as ``(params, history)``
+    and carries ``.kind`` ("loss" or "relres") identifying what the
+    history array holds.
     """
     if method == "adam":
         opt = (_opt.adam_per_group(group_lrs) if group_lrs
                else _opt.adam(learning_rate))
-        return run_optimizer(loss_fn, params, opt, num_steps, loss_args)
+        return MinimizeResult(
+            *run_optimizer(loss_fn, params, opt, num_steps, loss_args),
+            kind="loss")
     if method == "lbfgs":
-        return run_lbfgs(loss_fn, params, num_steps, loss_args=loss_args,
-                         **kwargs)
+        return MinimizeResult(
+            *run_lbfgs(loss_fn, params, num_steps, loss_args=loss_args,
+                       **kwargs), kind="loss")
     if method == "cg":
         from .linear import cg_solve
-        return cg_solve(loss_fn, params, loss_args=loss_args,
-                        max_iters=num_steps, **kwargs)
+        return MinimizeResult(
+            *cg_solve(loss_fn, params, loss_args=loss_args,
+                      max_iters=num_steps, **kwargs), kind="relres")
     if method == "jacobi_cg":
         from .linear import jacobi_pcg_solve
-        return jacobi_pcg_solve(loss_fn, params, loss_args=loss_args,
-                                max_iters=num_steps, **kwargs)
+        return MinimizeResult(
+            *jacobi_pcg_solve(loss_fn, params, loss_args=loss_args,
+                              max_iters=num_steps, **kwargs),
+            kind="relres")
     raise ValueError(f"unknown method {method!r}")
 
 

@@ -46,10 +46,12 @@ def _tree_axpy(alpha, x, y):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("loss_fn", "max_iters", "tol",
-                                    "atol"))
+                   static_argnames=("loss_fn", "max_iters"))
 def _cg(loss_fn, max_iters, tol, params, loss_args, dinv=None,
         atol=0.0):
+    # tol/atol ride as traced scalars (they only enter the while_loop
+    # condition arithmetic): a new tolerance must NOT recompile the
+    # solver — remote compiles occasionally take minutes here.
     grad_fn = jax.grad(lambda p, *a: loss_fn(p, *a))
     g0 = grad_fn(params, *loss_args)
 

@@ -307,10 +307,12 @@ def vcycle(model, levels: Tuple[_Level, ...], b, nu: int = 3,
 
 # -------------------------------------------------------------------- PCG
 @functools.partial(
-    jax.jit, static_argnames=("model", "max_iters", "tol", "nu",
+    jax.jit, static_argnames=("model", "max_iters", "nu",
                               "coarse_degree"))
 def _mg_pcg(model, levels, grid, params, max_iters, tol, nu,
             coarse_degree):
+    # tol is a traced scalar (while_loop condition only): changing the
+    # tolerance must not recompile the solver.
     u0 = params["u"]
     coords = levels[0].coords
 

@@ -74,6 +74,36 @@ def test_banded_energy_body_force_falls_back(setup):
     assert np.isclose(v1, v2, rtol=1e-5)
 
 
+def test_body_force_fast_path_vs_quadrature(setup):
+    """The fused body-force term (computed from the already-gathered
+    corner array, no per-quad-point gathers) must match the general
+    quadrature assembly — value AND both gradients — for a spatially
+    varying body force, on both the banded and the plain fused path."""
+    mesh, model, params = setup
+    bf = lambda x: jnp.stack([jnp.sin(x[:, 0]),
+                              -9.81 * jnp.cos(x[:, 1])], axis=1)
+    mesh_nb = dataclasses.replace(mesh, banded=None)
+    e_quad = ht.PlaneStressEnergy(model=model, assembly="quadrature",
+                                  body_force=bf, backend="xla")
+    g_ref = jax.grad(lambda p: e_quad.domain_energy(p, mesh_nb))(params)
+    v_ref = float(e_quad.domain_energy(params, mesh_nb))
+    for e_fast, m in (
+            (ht.PlaneStressEnergy(model=model, backend="pallas_interpret",
+                                  body_force=bf), mesh),
+            (ht.PlaneStressEnergy(model=model, backend="xla",
+                                  body_force=bf), mesh_nb)):
+        v = float(e_fast.domain_energy(params, m))
+        assert np.isclose(v, v_ref, rtol=1e-5), (v, v_ref)
+        g = jax.grad(lambda p: e_fast.domain_energy(p, m))(params)
+        for k in g_ref:
+            ref = np.asarray(g_ref[k])
+            # coords grads are cancellation-prone in f32: absolute floor
+            # scaled to the gradient magnitude
+            np.testing.assert_allclose(np.asarray(g[k]), ref,
+                                       rtol=5e-4,
+                                       atol=1e-5 * np.abs(ref).max())
+
+
 def test_banded_value_and_grad_single_pass(setup):
     """Under value_and_grad the banded path runs the single-pass
     recompute kernel (ownership-masked energy + cotangents in one scan);

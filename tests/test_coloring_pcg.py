@@ -20,8 +20,12 @@ def test_coloring_proper_and_small():
     assert coloring.check_coloring(conn, colors)
     assert colors.max() + 1 <= 8  # greedy on a triangulation stays small
     if native.available():
-        np.testing.assert_array_equal(
-            colors, native.greedy_color(conn, mesh.n_nodes))
+        # numpy uses vectorized Jones-Plassmann (random priorities), the
+        # native lib sequential greedy: different proper colorings of the
+        # same graph, both small
+        nat = native.greedy_color(conn, mesh.n_nodes)
+        assert coloring.check_coloring(conn, nat)
+        assert nat.max() + 1 <= 8
 
 
 def test_jacobi_diagonal_exact():
