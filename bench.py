@@ -63,8 +63,16 @@ def _roofline(dt_s: float, bytes_lb: float, flops: float) -> dict:
     }
 
 
-def bench_6k(ht, slope_time_scan):
+def bench_6k(ht, slope_time_scan, lattice=True):
+    """Headline workload.  With ``lattice=True`` (the production
+    default) the energy routes through the gather-free lattice path
+    (mesh/lattice.py: the 81x41 proxy plate IS a lattice
+    triangulation); ``lattice=False`` forces the unstructured
+    gather-based assembly for the record."""
+    import dataclasses
     mesh = ht.proxy_plate_mesh(nx=81, ny=41)       # 6,400 elements
+    if not lattice:
+        mesh = dataclasses.replace(mesh, lattice=None)
     model = ht.TriangleP1()
     params = model.init(jax.random.PRNGKey(0), mesh)
     energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3,
@@ -81,7 +89,11 @@ def bench_6k(ht, slope_time_scan):
 
 
 def bench_922k_banded(ht, slope_time_scan):
+    import dataclasses
     mesh = ht.proxy_plate_mesh(nx=961, ny=481)     # 921,600 elements
+    # this row measures the BANDED unstructured path; the lattice route
+    # would silently bypass it (its own row is bench_922k_lattice_holes)
+    mesh = dataclasses.replace(mesh, lattice=None)
     model = ht.TriangleP1()
     params = model.init(jax.random.PRNGKey(0), mesh)
     energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
@@ -128,6 +140,28 @@ def bench_922k_structured(ht, slope_time_scan):
                     + (grid.nx - 1) * (grid.ny - 1))
     flops = FLOPS_PER_ELEMENT_FWD_BWD * 2 * (grid.nx - 1) * (grid.ny - 1)
     return dt, _roofline(dt, bytes_lb, flops)
+
+
+def bench_922k_lattice_holes(ht, slope_time_scan):
+    """The reference's real workload shape at scale: 961x481 lattice
+    with the example-4 three holes (node deletion -> renumbered, so the
+    route runs the one-N-row permutation fill, not the identity
+    reshape).  Measured r3: 4.94 ms/step vs 17.9 banded."""
+    from hidenn_fem_tpu.mesh.structured import generate_mesh
+    mesh = generate_mesh(nx=961, ny=481,
+                         holes=((0.5, 0.7, 0.12), (1.0, 0.3, 0.15),
+                                (1.4, 0.6, 0.1)))
+    assert mesh.lattice is not None and not mesh.lattice.identity
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def step(p, m):
+        val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
+        p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
+        return p, val
+
+    return slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
 
 
 def bench_plate_solve(ht):
@@ -194,6 +228,19 @@ def main():
 
     qp_per_s = bench_6k(ht, slope_time_scan)
     extra = {}
+    try:
+        qp_unstr = bench_6k(ht, slope_time_scan, lattice=False)
+        extra["unstructured_6k_qp_per_s"] = float(f"{qp_unstr:.4g}")
+        extra["unstructured_6k_vs_baseline"] = float(
+            f"{qp_unstr / BASELINE_QP_PER_S:.4g}")
+    except Exception as e:
+        extra["unstructured_6k_error"] = repr(e)[:200]
+    try:
+        dt_lh = bench_922k_lattice_holes(ht, slope_time_scan)
+        extra["lattice_922k_holes_ms_per_step_fwd_bwd"] = float(
+            f"{dt_lh * 1e3:.4g}")
+    except Exception as e:
+        extra["lattice_922k_holes_error"] = repr(e)[:200]
     try:
         extra["plate_lbfgs600_warm_s"] = float(
             f"{bench_plate_solve(ht):.4g}")

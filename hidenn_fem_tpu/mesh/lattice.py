@@ -1,0 +1,175 @@
+"""Lattice detection: route lattice-topology TriMeshes through the
+gather-free structured energy.
+
+The TPU facts (CLAUDE.md): assembly gathers run at ~0.5-1 row/cycle and
+bound the unstructured energy step (the round-2 A/B showed the 6.4K
+step sits at the architectural two-gather floor).  But the meshes the
+reference's own generator produces (``/root/reference/src/mesh.py:
+155-276`` and our ``mesh/structured.py``) are *lattice triangulations*:
+node (i, j) of an nx-by-ny grid, one diagonal per quad, holes punched
+by node deletion.  For those, per-element nodal data are array SLICES
+of the [nx, ny] node lattice — no gathers at all (the
+``models/structured_grid.py`` insight) — or, with deleted nodes, one
+N-row permutation gather instead of the 3·Ne-row connectivity gather
+plus its incidence backward.
+
+``detect_lattice`` recovers the lattice from a generic
+(coords, connectivity, neumann_edges) triple — O(Ne log Ne) host-side
+numpy, run once at mesh build — and returns ``None`` for genuinely
+unstructured (e.g. gmsh OCC) meshes, which keep the banded/Pallas
+path.  Correctness does not depend on the detection heuristics: a
+detected route is validated structurally (every triangle must map to
+exactly one lattice quad diagonal, every Neumann edge to a face
+segment), and the routed energy is equality-tested against the
+unstructured assembly in ``tests/test_lattice_route.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LatticeRoute", "detect_lattice"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LatticeRoute:
+    """Recovered lattice structure of a TriMesh (see module docstring).
+
+    Attributes:
+      sel: [nx-1, ny-1] f32 — 1 where the quad splits along the n00-n11
+        ("up") diagonal, 0 for n10-n01 ("down").
+      t1/t2: [nx-1, ny-1] f32 — presence masks for the first/second
+        triangle of each quad's split (holes drop triangles).
+      inv_map: [nx*ny] int32 — lattice position -> mesh node id, with
+        n_nodes as the sentinel for deleted (hole) positions.
+      fwd_map: [N] int32 — mesh node id -> lattice position (total: every
+        surviving node occupies exactly one position, which is what
+        makes the backward of the fill a gather, not a scatter).
+      edge_masks: face -> f32 segment mask ('left'/'right': [ny-1],
+        'up'/'down': [nx-1]) carrying the Neumann edges.
+      nx/ny: lattice shape (static).
+      identity: True when the node numbering IS the lattice numbering
+        (no deleted nodes, lexicographic order) — the fill collapses to
+        a reshape and the route does ZERO gathers (static).
+    """
+
+    sel: jax.Array
+    t1: jax.Array
+    t2: jax.Array
+    inv_map: jax.Array
+    fwd_map: jax.Array
+    edge_masks: dict
+    nx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    ny: int = dataclasses.field(metadata=dict(static=True), default=0)
+    identity: bool = dataclasses.field(metadata=dict(static=True),
+                                       default=False)
+
+
+def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
+                   neumann_edges: np.ndarray
+                   ) -> Optional[LatticeRoute]:
+    """Recover the lattice structure, or None if the mesh isn't one."""
+    coords = np.asarray(coords)
+    conn = np.asarray(connectivity, dtype=np.int64)
+    edges = np.asarray(neumann_edges, dtype=np.int64)
+    n = coords.shape[0]
+    if n < 4 or conn.shape[0] < 2:
+        return None
+
+    # ---- node -> (i, j): exact-match against the unique coordinate
+    # levels.  A true lattice has nx*ny ~ N levels-product; irregular
+    # meshes explode it, which is the cheap rejection.
+    xs = np.unique(coords[:, 0])
+    ys = np.unique(coords[:, 1])
+    nx, ny = xs.size, ys.size
+    if nx < 2 or ny < 2 or nx * ny > 4 * n or nx * ny < n:
+        return None
+    i = np.searchsorted(xs, coords[:, 0])
+    j = np.searchsorted(ys, coords[:, 1])
+    # searchsorted hits exact values by construction of unique()
+    pos = i * ny + j
+    if np.unique(pos).size != n:     # two nodes on one lattice site
+        return None
+
+    # ---- classify every triangle into (quad, diagonal, slot)
+    pi = pos[conn] // ny             # [Ne, 3] lattice i per vertex
+    pj = pos[conn] % ny
+    qi = pi.min(axis=1)
+    qj = pj.min(axis=1)
+    di = pi - qi[:, None]
+    dj = pj - qj[:, None]
+    if (di > 1).any() or (dj > 1).any() or (qi >= nx - 1).any() \
+            or (qj >= ny - 1).any():
+        return None
+    # corner codes 0:n00 1:n01 2:n10 3:n11; the four 3-subsets of the
+    # quad's corners are exactly the four possible triangles, keyed by
+    # their code sum: 5 = up-T1 (n00,n10,n11), 4 = up-T2 (n00,n11,n01),
+    # 3 = down-T1 (n00,n10,n01), 6 = down-T2 (n10,n11,n01).
+    code = di * 2 + dj
+    if (np.sort(code, axis=1)[:, :-1] == np.sort(code, axis=1)[:, 1:]
+            ).any():                 # repeated vertex
+        return None
+    s = code.sum(axis=1)
+    quad = qi * (ny - 1) + qj
+    is_up = (s == 5) | (s == 4)
+    slot1 = (s == 5) | (s == 3)
+
+    nq = (nx - 1) * (ny - 1)
+    up_cnt = np.zeros(nq, np.int64)
+    dn_cnt = np.zeros(nq, np.int64)
+    np.add.at(up_cnt, quad[is_up], 1)
+    np.add.at(dn_cnt, quad[~is_up], 1)
+    if ((up_cnt > 0) & (dn_cnt > 0)).any():   # mixed diagonals in a quad
+        return None
+    t1 = np.zeros(nq, np.float32)
+    t2 = np.zeros(nq, np.float32)
+    # duplicate triangles (same quad, same slot) are not a lattice
+    slot = (~slot1).astype(np.int64)
+    if np.unique(quad * 2 + slot).size != conn.shape[0]:
+        return None
+    t1[quad[slot1]] = 1.0
+    t2[quad[~slot1]] = 1.0
+    sel = (up_cnt > 0).astype(np.float32)
+    sel[(up_cnt == 0) & (dn_cnt == 0)] = 1.0   # empty quads: any
+
+    # ---- Neumann edges must be face segments
+    edge_masks = {}
+    if edges.size:
+        ea, eb = pos[edges[:, 0]], pos[edges[:, 1]]
+        ia, ja = ea // ny, ea % ny
+        ib, jb = eb // ny, eb % ny
+        vert = (ia == ib) & (np.abs(ja - jb) == 1)
+        horz = (ja == jb) & (np.abs(ia - ib) == 1)
+        left = vert & (ia == 0)
+        right = vert & (ia == nx - 1)
+        down = horz & (ja == 0)
+        up = horz & (ja == ny - 1)
+        if not (left | right | down | up).all():
+            return None
+        for name, m, seg, size in (
+                ("left", left, np.minimum(ja, jb), ny - 1),
+                ("right", right, np.minimum(ja, jb), ny - 1),
+                ("down", down, np.minimum(ia, ib), nx - 1),
+                ("up", up, np.minimum(ia, ib), nx - 1)):
+            if m.any():
+                mask = np.zeros(size, np.float32)
+                mask[seg[m]] = 1.0
+                edge_masks[name] = jnp.asarray(mask)
+
+    identity = bool(n == nx * ny and (pos == np.arange(n)).all())
+    inv_map = np.full(nx * ny, n, np.int32)
+    inv_map[pos] = np.arange(n, dtype=np.int32)
+    return LatticeRoute(
+        sel=jnp.asarray(sel.reshape(nx - 1, ny - 1)),
+        t1=jnp.asarray(t1.reshape(nx - 1, ny - 1)),
+        t2=jnp.asarray(t2.reshape(nx - 1, ny - 1)),
+        inv_map=jnp.asarray(inv_map),
+        fwd_map=jnp.asarray(pos.astype(np.int32)),
+        edge_masks=edge_masks,
+        nx=int(nx), ny=int(ny), identity=identity)

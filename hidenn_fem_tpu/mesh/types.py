@@ -90,6 +90,14 @@ class TriMesh:
     # path.
     fused_connectivity: Optional[jax.Array] = None
     fused_incidence: Optional[jax.Array] = None
+    # Optional recovered lattice structure (mesh/lattice.py): set when
+    # the mesh is a lattice triangulation (the structured generator's
+    # output, with or without punched holes).  Lets the energy replace
+    # its assembly gathers with lattice slices — the gather-free
+    # structured fast path behind the unstructured API.  None for
+    # genuinely unstructured (gmsh-style) meshes and for element-sharded
+    # copies (the sharded paths own their distribution).
+    lattice: Optional[object] = None
 
     @property
     def n_nodes(self) -> int:
@@ -107,12 +115,16 @@ class TriMesh:
     def from_arrays(cls, coords, connectivity, geom_boundary_mask=None,
                     dirichlet_mask=None, neumann_mask=None,
                     neumann_edges=None, dtype=jnp.float32,
-                    build_incidence=True, build_banded="auto") -> "TriMesh":
+                    build_incidence=True, build_banded="auto",
+                    build_lattice=True) -> "TriMesh":
         """Normalize host arrays into a device-ready TriMesh.
 
         build_banded: "auto" builds blocked-window assembly tables when
         any assembly gather table would exceed the TPU row-rate cliff
         (large meshes); True forces it; False skips.
+        build_lattice: attempt lattice detection (mesh/lattice.py) so
+        lattice-topology meshes get the gather-free energy route; the
+        detector rejects genuinely unstructured meshes cheaply.
         """
         coords = jnp.asarray(np.asarray(coords), dtype=dtype)
         n = coords.shape[0]
@@ -138,6 +150,12 @@ class TriMesh:
             banded = build_banded_assembly(conn_np, n, inc_np)
 
         edges_np = np.asarray(neumann_edges)
+        lattice = None
+        if build_lattice and conn_np.size:
+            from .lattice import detect_lattice
+            lattice = detect_lattice(np.asarray(coords), conn_np,
+                                     edges_np)
+
         fused_conn = fused_inc = None
         if build_incidence and conn_np.size and edges_np.size:
             edge_tri = np.concatenate(
@@ -160,6 +178,7 @@ class TriMesh:
                                 if fused_conn is not None else None),
             fused_incidence=(jnp.asarray(fused_inc)
                              if fused_inc is not None else None),
+            lattice=lattice,
         )
 
     def astuple(self):

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["StructuredGrid", "StructuredGridP1",
-           "generate_structured_grid", "pad_lattice"]
+           "generate_structured_grid", "pad_lattice",
+           "pad_lattice_side"]
 
 
 @jax.tree_util.register_dataclass
@@ -182,39 +183,60 @@ def generate_structured_grid(
     )
 
 
+def _face_active(grid: StructuredGrid, face: str) -> bool:
+    m = grid.neumann_edge_masks.get(face)
+    return m is not None and bool(np.asarray(m).any())
+
+
+def pad_lattice_side(grid: StructuredGrid) -> str:
+    """Which side ``pad_lattice`` will add dead rows on: "prepend"
+    (default; keeps a right-face traction at lattice index -1) or
+    "append" (when the left face carries an active traction, which must
+    stay at index 0).  Callers that later unpad (e.g. the sharded MG
+    engines) use this to slice the correct end."""
+    return "append" if _face_active(grid, "left") else "prepend"
+
+
 def pad_lattice(grid: StructuredGrid, params: Optional[dict],
                 multiple: int) -> Tuple[StructuredGrid, Optional[dict]]:
     """Pad the lattice i-axis to a multiple of ``multiple`` (for sharding
     the row axis over a device mesh; GSPMD turns the stencil slices into
     halo exchanges automatically, but requires divisible dimensions).
 
-    Rows are PREPENDED as copies of row 0 with their quads deactivated,
-    coordinates frozen (geom mask) and values pinned (dirichlet mask), so
-    they contribute nothing — and a right-face traction edge stays at
-    index -1.  Up/down face segment masks get zero-padded; a left-face
-    traction is unsupported under row padding (the physical left face is
-    no longer lattice row 0).
+    Dead rows (quads deactivated, coordinates frozen via the geom mask,
+    values pinned via the dirichlet mask) contribute nothing to energy
+    or gradients.  The pad side follows the tractions: ``edge_energy``
+    reads the right face at lattice index -1 and the left face at index
+    0, so rows are PREPENDED by default (right-face traction stays at
+    -1) but APPENDED when the left face carries the (only) active
+    traction.  Tractions on BOTH x-faces cannot survive row padding —
+    pad the column axis instead (transpose the grid).
     """
     nx = grid.nx
     k = (-nx) % multiple
     if k == 0:
         return grid, params
-    left = grid.neumann_edge_masks.get("left")
-    if left is not None and bool(np.asarray(left).any()):
+
+    append = pad_lattice_side(grid) == "append"
+    if append and _face_active(grid, "right"):
         raise NotImplementedError(
-            "pad_lattice cannot pad the row axis with an active left-face "
-            "traction; pad the column axis instead (transpose the grid)")
+            "pad_lattice cannot pad the row axis with active tractions "
+            "on BOTH x-faces; pad the column axis instead (transpose "
+            "the grid)")
 
     def prep(a, fill=None):
         a = np.asarray(a)
-        row = np.repeat(a[0:1], k, axis=0) if fill is None \
+        src = a[-1:] if append else a[0:1]
+        row = np.repeat(src, k, axis=0) if fill is None \
             else np.full((k,) + a.shape[1:], fill, a.dtype)
-        return jnp.asarray(np.concatenate([row, a], axis=0))
+        parts = [a, row] if append else [row, a]
+        return jnp.asarray(np.concatenate(parts, axis=0))
 
     def prep_seg(f, m):
         if f in ("up", "down"):    # [nx-1] segment masks grow with rows
-            return jnp.asarray(np.concatenate(
-                [np.zeros(k, np.asarray(m).dtype), np.asarray(m)]))
+            z = np.zeros(k, np.asarray(m).dtype)
+            parts = [np.asarray(m), z] if append else [z, np.asarray(m)]
+            return jnp.asarray(np.concatenate(parts))
         return m
 
     grid2 = StructuredGrid(
@@ -227,7 +249,9 @@ def pad_lattice(grid: StructuredGrid, params: Optional[dict],
         u_dirichlet=(None if grid.u_dirichlet is None
                      else prep(grid.u_dirichlet)),
         split=grid.split,
-        zigzag_phase=(grid.zigzag_phase + k) % 2,
+        # appended rows don't shift existing quad parities; prepended
+        # rows shift them by k
+        zigzag_phase=(grid.zigzag_phase + (0 if append else k)) % 2,
     )
     params2 = None
     if params is not None:

@@ -1,0 +1,142 @@
+"""Gather-free energy evaluation for lattice-detected TriMeshes.
+
+The unstructured plane-stress step is bound by its two assembly gathers
+(~0.5-1 row/cycle on v5e; the round-2 A/B put the 6.4K step at that
+architectural floor).  When ``mesh.lattice`` is present
+(``mesh/lattice.py``), the same energy is computed from SLICES of the
+[nx, ny, 4] node lattice instead — the ``models/structured_grid.py``
+design applied to the unstructured API:
+
+* identity numbering (hole-free generator meshes): a reshape, zero
+  gathers anywhere in forward or backward;
+* renumbered meshes (holes punch nodes out): ONE N-row permutation
+  gather to fill the lattice, whose backward is ALSO a gather (the map
+  is injective), vs the 3*Ne-row connectivity gather + incidence
+  backward of the general path.
+
+Numerics are the exact P1 constant-strain element energy — the same
+arithmetic as ``ops/losses.py``'s fused path up to reassociation —
+equality-tested (value + both gradient groups) in
+``tests/test_lattice_route.py``.  Matches the reference hot path
+``/root/reference/src/loss.py:55-116``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["lattice_total", "lattice_domain_energy"]
+
+
+@jax.custom_vjp
+def _perm_fill(node: jax.Array, inv_map: jax.Array, fwd_map: jax.Array
+               ) -> jax.Array:
+    """[N, 4] node table -> [nx*ny, 4] lattice fill via the injective
+    position maps; deleted positions read an appended zeros row."""
+    pad = jnp.concatenate([node, jnp.zeros((1, node.shape[1]),
+                                           node.dtype)], axis=0)
+    return pad[inv_map]
+
+
+def _perm_fill_fwd(node, inv_map, fwd_map):
+    return _perm_fill(node, inv_map, fwd_map), fwd_map
+
+
+def _perm_fill_bwd(fwd_map, ct):
+    # every node occupies exactly one lattice position, so the fill's
+    # transpose is itself a gather (a scatter would be ~7x slower/row)
+    return ct[fwd_map], None, None
+
+
+_perm_fill.defvjp(_perm_fill_fwd, _perm_fill_bwd)
+
+
+def _tri_energy(v0, v1, v2, f, nu):
+    """P1 plane-stress element energy density x |detJ| for one triangle
+    family of corner slices [..., 4] = (cx, cy, ux, uy) — the identical
+    scalar-wise algebra as the fused unstructured path
+    (``ops/losses.py``) and ``StructuredGridP1._tri_energy``."""
+    ax = v0[..., 0] - v2[..., 0]
+    ay = v0[..., 1] - v2[..., 1]
+    bx = v1[..., 0] - v2[..., 0]
+    by = v1[..., 1] - v2[..., 1]
+    d0x = v0[..., 2] - v2[..., 2]
+    d0y = v0[..., 3] - v2[..., 3]
+    d1x = v1[..., 2] - v2[..., 2]
+    d1y = v1[..., 3] - v2[..., 3]
+    det = ax * by - bx * ay
+    safe = jnp.where(jnp.abs(det) < 1e-12,
+                     jnp.where(det < 0, -1e-12, 1e-12), det)
+    inv = 1.0 / safe
+    exx = (by * d0x - ay * d1x) * inv
+    eyy = (-bx * d0y + ax * d1y) * inv
+    gxy = ((by * d0y - ay * d1y) + (-bx * d0x + ax * d1x)) * inv
+    dens = 0.5 * (f * (exx * exx + eyy * eyy + 2 * nu * exx * eyy)
+                  + f * (1 - nu) / 2 * gxy * gxy)
+    return jnp.abs(det) * dens
+
+
+def _lat(node: jax.Array, route) -> jax.Array:
+    if route.identity:
+        return node.reshape(route.nx, route.ny, 4)
+    return _perm_fill(node, route.inv_map, route.fwd_map).reshape(
+        route.nx, route.ny, 4)
+
+
+def lattice_domain_energy(node: jax.Array, route, E: float, nu: float,
+                          w_sum: float) -> jax.Array:
+    """Elastic strain energy from the lattice route (see module doc)."""
+    return _domain_from_lat(_lat(node, route), route, E, nu, w_sum)
+
+
+def _domain_from_lat(lat: jax.Array, route, E: float, nu: float,
+                     w_sum: float) -> jax.Array:
+    f = E / (1.0 - nu ** 2)
+    n00 = lat[:-1, :-1]
+    n10 = lat[1:, :-1]
+    n11 = lat[1:, 1:]
+    n01 = lat[:-1, 1:]
+    sel = route.sel
+    # slot-1 triangle: up = (n00, n10, n11), down = (n00, n10, n01);
+    # slot-2: up = (n00, n11, n01), down = (n10, n11, n01).  The where
+    # selects per quad; t1/t2 mask hole-dropped triangles.
+    e1 = jnp.where(sel > 0,
+                   _tri_energy(n00, n10, n11, f, nu),
+                   _tri_energy(n00, n10, n01, f, nu))
+    e2 = jnp.where(sel > 0,
+                   _tri_energy(n00, n11, n01, f, nu),
+                   _tri_energy(n10, n11, n01, f, nu))
+    return w_sum * jnp.sum(route.t1 * e1 + route.t2 * e2)
+
+
+def lattice_total(node: jax.Array, route, E: float, nu: float,
+                  w_sum: float, t_x: float, t_y: float = 0.0
+                  ) -> jax.Array:
+    """domain - traction work, all from lattice slices.  The uniform
+    traction on linear edges integrates exactly:
+    t . integral u ds = ds * (t_x (u0x+u1x) + t_y (u0y+u1y)) / 2."""
+    lat = _lat(node, route)       # built once, shared by both terms
+    dom = _domain_from_lat(lat, route, E, nu, w_sum)
+    if not route.edge_masks:
+        return dom
+    sel = {
+        "right": lambda k: lat[-1, :, k],
+        "left": lambda k: lat[0, :, k],
+        "up": lambda k: lat[:, -1, k],
+        "down": lambda k: lat[:, 0, k],
+    }
+    work = jnp.zeros((), node.dtype)
+    for face, mask in route.edge_masks.items():
+        cx = sel[face](0)
+        cy = sel[face](1)
+        ds = jnp.sqrt((cx[1:] - cx[:-1]) ** 2 + (cy[1:] - cy[:-1]) ** 2)
+        if t_x:
+            ux = sel[face](2)
+            work = work + t_x * jnp.sum(
+                mask * ds * 0.5 * (ux[1:] + ux[:-1]))
+        if t_y:
+            uy = sel[face](3)
+            work = work + t_y * jnp.sum(
+                mask * ds * 0.5 * (uy[1:] + uy[:-1]))
+    return dom - work

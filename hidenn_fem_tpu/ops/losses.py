@@ -426,10 +426,35 @@ class PlaneStressEnergy:
                                      w_sum, backend == "pallas_interpret",
                                      mesh.n_elements, -float(t_x))
 
+    def _lattice_total(self, params, mesh: TriMesh):
+        """Gather-free route for lattice-detected meshes (or None).
+
+        When the TriMesh carries a recovered lattice structure
+        (``mesh/lattice.py``) the whole energy — domain and traction —
+        evaluates from [nx, ny] node-lattice slices: zero gathers for
+        identity numberings, one N-row permutation fill otherwise,
+        instead of the 3*Ne-row connectivity gather + incidence
+        backward that bound the unstructured step.  Same numerics as
+        the fused path (equality-tested both-gradients in
+        tests/test_lattice_route.py)."""
+        if (mesh.lattice is None or self.assembly != "fused"
+                or self.compat != "exact" or self.traction is not None
+                or self.body_force is not None or self.model.dim_u != 2
+                or getattr(self.model, "compat", "exact") != "exact"):
+            return None
+        from .lattice_energy import lattice_total
+        node = self.model.packed_nodes(params, mesh)
+        w_sum = quad.triangle_weight_sum(self.gauss_order)
+        t_x = self.F_total / self.traction_length
+        return lattice_total(node, mesh.lattice, float(self.E),
+                             float(self.nu), w_sum, float(t_x))
+
     def total(self, params, mesh: TriMesh) -> jax.Array:
         """Total potential = domain - edge (``src/loss.py:113-116``),
         plus the optional mesh-quality regularization."""
-        e = self._fused_total(params, mesh)
+        e = self._lattice_total(params, mesh)
+        if e is None:
+            e = self._fused_total(params, mesh)
         if e is None:
             e = self.domain_energy(params, mesh) - self.edge_energy(
                 params, mesh)

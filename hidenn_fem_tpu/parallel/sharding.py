@@ -78,7 +78,9 @@ def pad_mesh(tri: TriMesh, n_shards: int) -> TriMesh:
     if nedg and nedg_pad != nedg:
         pad = jnp.zeros((nedg_pad - nedg, 2), dtype=edges.dtype)
         edges = jnp.concatenate([edges, pad], axis=0)
-    return dataclasses.replace(tri, connectivity=conn, neumann_edges=edges)
+    # a stored lattice route no longer describes the padded connectivity
+    return dataclasses.replace(tri, connectivity=conn,
+                               neumann_edges=edges, lattice=None)
 
 
 def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
@@ -99,6 +101,7 @@ def mesh_shardings(dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
         banded=None,
         fused_connectivity=None,
         fused_incidence=None,
+        lattice=None,
     )
 
 
@@ -113,7 +116,7 @@ def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     tri = dataclasses.replace(pad_mesh(tri, dmesh.devices.size),
                               incidence=None, banded=None,
                               fused_connectivity=None,
-                              fused_incidence=None)
+                              fused_incidence=None, lattice=None)
     shardings = mesh_shardings(dmesh, axis)
     return jax.tree.map(jax.device_put, tri, shardings)
 
@@ -139,7 +142,7 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         coords=P(), connectivity=P(axis), geom_boundary_mask=P(),
         dirichlet_mask=P(), neumann_mask=P(), neumann_edges=P(axis),
         incidence=None, banded=None,
-        fused_connectivity=None, fused_incidence=None))
+        fused_connectivity=None, fused_incidence=None, lattice=None))
 
     def per_device(params, tri):
         dom = energy.domain_energy(params, tri)
@@ -155,7 +158,8 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         return fn(params, dataclasses.replace(tri, incidence=None,
                                               banded=None,
                                               fused_connectivity=None,
-                                              fused_incidence=None))
+                                              fused_incidence=None,
+                                              lattice=None))
 
     return loss_fn
 

@@ -65,7 +65,11 @@ def test_incidence_backward_with_padding():
     """Element padding appended after the incidence table was built must
     not change gradients (padded degenerate elements have exactly-zero
     cotangents; -1 slots hit the appended zeros row)."""
-    mesh = ht.proxy_plate_mesh(nx=13, ny=7)
+    import dataclasses
+    # strip the lattice route on both sides: this test is about the
+    # incidence-gather backward, which the route would bypass
+    mesh = dataclasses.replace(ht.proxy_plate_mesh(nx=13, ny=7),
+                               lattice=None)
     padded = sh.pad_mesh(mesh, 7)
     assert padded.incidence is not None  # pad_mesh keeps the table
     model = ht.TriangleP1()

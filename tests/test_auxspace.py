@@ -12,6 +12,10 @@ from hidenn_fem_tpu.solve.auxspace import (aux_pcg_solve,
                                            build_aux_preconditioner,
                                            radapt_aux_solve)
 
+# multi-minute solver suite (compiles big PCG programs) -> excluded from the quick lane
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
+
 
 def _plate(nx=33, ny=17, holes=()):
     if holes:

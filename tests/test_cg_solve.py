@@ -8,6 +8,10 @@ import numpy as np
 
 import hidenn_fem_tpu as ht
 
+# multi-minute solver suite (600-iteration plate solves) -> excluded from the quick lane
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
+
 
 def test_cg_exact_on_spd_quadratic():
     rng = np.random.RandomState(0)

@@ -17,6 +17,9 @@ from hidenn_fem_tpu.solve.multigrid import (
     build_hierarchy, coarsen_grid, mg_pcg_solve, prolong, radapt_mg_solve,
     _restrict)
 
+# multi-minute solver suite (compiles big MG programs) -> excluded from the quick lane
+pytestmark = pytest.mark.slow
+
 
 def _setup(nx=33, ny=17, **kw):
     grid = generate_structured_grid(length=2.0, height=1.0, nx=nx, ny=ny,

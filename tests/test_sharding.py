@@ -15,6 +15,9 @@ import pytest
 import hidenn_fem_tpu as ht
 from hidenn_fem_tpu.parallel import sharding as sh
 
+# multi-minute suite (8-device sharded solves) -> excluded from the quick lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -153,9 +156,11 @@ def test_sharded_cg_displacement_solve(eight_devices):
         1e-3 * scale)
 
 
-def test_sharded_multigrid_matches_single_device(eight_devices):
-    """Multi-chip MG (parallel/sharded_mg.py): fine level row-sharded
-    via dead-row padding, coarse levels replicated — same iteration
+@pytest.mark.parametrize("engine", ["replicated_coarse", "all"])
+def test_sharded_multigrid_matches_single_device(eight_devices, engine):
+    """Multi-chip MG (parallel/sharded_mg.py), both engines: dead-row
+    padded row sharding with replicated coarse levels, and the
+    all-levels-sharded variant (per-level padding) — same iteration
     count and solution as the single-device solve."""
     from hidenn_fem_tpu.models.structured_grid import (
         StructuredGridP1, generate_structured_grid)
@@ -168,13 +173,36 @@ def test_sharded_multigrid_matches_single_device(eight_devices):
     sol0, h0 = ht.mg_pcg_solve(model, grid, params, max_iters=40,
                                tol=1e-6)
     sol1, h1 = mg_pcg_solve_sharded(model, grid, params, n_devices=8,
-                                    max_iters=40, tol=1e-6)
+                                    max_iters=40, tol=1e-6,
+                                    engine=engine)
     h1 = np.asarray(h1)
     assert h1[h1 > 0][-1] <= 1e-6
     it0, it1 = int((np.asarray(h0) > 0).sum()), int((h1 > 0).sum())
     assert abs(it1 - it0) <= 3, (it0, it1)
     s = float(jnp.max(jnp.abs(sol0["u"])))
     assert float(jnp.max(jnp.abs(sol1["u"] - sol0["u"]))) <= 5e-4 * s
+
+
+def test_sharded_mg_collective_census(eight_devices):
+    """The A/B evidence for the all-levels-sharded V-cycle: both engines
+    compile to real distributed programs (collective-permute halo
+    exchanges present), and the all-sharded engine does not emit more
+    collectives than the replicated-coarse one."""
+    from hidenn_fem_tpu.models.structured_grid import (
+        StructuredGridP1, generate_structured_grid)
+    from hidenn_fem_tpu.parallel.sharded_mg import count_collectives
+
+    grid = generate_structured_grid(length=2.0, height=1.0, nx=65,
+                                    ny=33)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    c_all = count_collectives(model, grid, params, engine="all")
+    c_rep = count_collectives(model, grid, params,
+                              engine="replicated_coarse")
+    assert c_all["collective-permute"] > 0
+    assert c_rep["collective-permute"] > 0
+    total = lambda c: sum(c.values())
+    assert total(c_all) <= total(c_rep), (c_all, c_rep)
 
 
 def test_sharded_aux_pcg_matches_single_device(eight_devices):

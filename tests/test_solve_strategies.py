@@ -68,6 +68,7 @@ def test_lbfgs_tol_early_stop(problem):
     assert np.isfinite(tail[-1])
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_counts(eight_devices):
     import __graft_entry__ as ge
     for n in (2, 4, 8):

@@ -197,6 +197,65 @@ def test_lattice_padding_exact():
                                       np.asarray(gp[kk])[k:])
 
 
+def test_lattice_padding_left_traction():
+    """A left-face traction pads on the APPEND side (the left face must
+    stay at lattice index 0): energy and gradients survive padding
+    exactly.  Closes the round-2 NotImplementedError for this BC
+    configuration."""
+    from hidenn_fem_tpu.models.structured_grid import (pad_lattice,
+                                                       pad_lattice_side)
+    grid = generate_structured_grid(
+        length=2.0, height=1.0, nx=33, ny=17,
+        boundaries={"left": 2, "right": 1, "up": 0, "down": 0})
+    assert pad_lattice_side(grid) == "append"
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    gridP, paramsP = pad_lattice(grid, params, 8)
+    assert gridP.nx % 8 == 0
+    v0 = float(model(params, grid))
+    v1 = float(model(paramsP, gridP))
+    assert np.isclose(v0, v1, rtol=1e-6), (v0, v1)
+    g0 = jax.grad(lambda p: model(p, grid))(params)
+    gp = jax.grad(lambda p: model(p, gridP))(paramsP)
+    k = gridP.nx - grid.nx
+    for kk in g0:
+        assert float(jnp.abs(gp[kk][-k:]).max()) == 0.0
+        np.testing.assert_array_equal(np.asarray(g0[kk]),
+                                      np.asarray(gp[kk])[:-k])
+    # both x-faces loaded stays unsupported (no safe pad side)
+    both = generate_structured_grid(
+        length=2.0, height=1.0, nx=33, ny=17,
+        boundaries={"left": 2, "right": 2, "up": 1, "down": 0})
+    with pytest.raises(NotImplementedError):
+        pad_lattice(both, None, 8)
+
+
+@pytest.mark.slow
+def test_sharded_mg_left_traction(eight_devices):
+    """The sharded MG engines solve a left-traction plate (append-side
+    padding threads through the V-cycle pad/unpad as a signed count)."""
+    from hidenn_fem_tpu.parallel.sharded_mg import mg_pcg_solve_sharded
+    import hidenn_fem_tpu as ht
+
+    grid = generate_structured_grid(
+        length=2.0, height=1.0, nx=33, ny=17,
+        boundaries={"left": 2, "right": 1, "up": 0, "down": 0})
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    sol0, _ = ht.mg_pcg_solve(model, grid, params, max_iters=40,
+                              tol=1e-6)
+    s = float(jnp.max(jnp.abs(sol0["u"])))
+    for engine in ("replicated_coarse", "all"):
+        sol1, h1 = mg_pcg_solve_sharded(model, grid, params,
+                                        n_devices=8, max_iters=40,
+                                        tol=1e-6, engine=engine)
+        h1 = np.asarray(h1)
+        assert h1[h1 > 0][-1] <= 1e-6
+        assert float(jnp.max(jnp.abs(sol1["u"] - sol0["u"]))) <= 5e-4 * s
+
+
 def test_lattice_row_sharding(eight_devices):
     """GSPMD shards the lattice row axis; the stencil slices become halo
     exchanges automatically.  Values/grads match up to f32 psum
