@@ -142,16 +142,21 @@ def bench_922k_structured(ht, slope_time_scan):
     return dt, _roofline(dt, bytes_lb, flops)
 
 
-def bench_922k_lattice_holes(ht, slope_time_scan):
+def bench_922k_lattice_holes(ht, slope_time_scan,
+                             keep_dead_nodes=False):
     """The reference's real workload shape at scale: 961x481 lattice
-    with the example-4 three holes (node deletion -> renumbered, so the
-    route runs the one-N-row permutation fill, not the identity
-    reshape).  Measured r3: 4.94 ms/step vs 17.9 banded."""
+    with the example-4 three holes.  Default (renumbered nodes, the
+    reference contract): the route runs the one-N-row permutation fill
+    — measured r3: 4.94 ms/step vs 17.9 banded.  With
+    ``keep_dead_nodes=True`` the numbering stays the identity lattice
+    and the route does zero gathers (~0.1 ms class)."""
     from hidenn_fem_tpu.mesh.structured import generate_mesh
     mesh = generate_mesh(nx=961, ny=481,
                          holes=((0.5, 0.7, 0.12), (1.0, 0.3, 0.15),
-                                (1.4, 0.6, 0.1)))
-    assert mesh.lattice is not None and not mesh.lattice.identity
+                                (1.4, 0.6, 0.1)),
+                         keep_dead_nodes=keep_dead_nodes)
+    assert mesh.lattice is not None
+    assert mesh.lattice.identity == keep_dead_nodes
     model = ht.TriangleP1()
     params = model.init(jax.random.PRNGKey(0), mesh)
     energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
@@ -161,6 +166,8 @@ def bench_922k_lattice_holes(ht, slope_time_scan):
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
         return p, val
 
+    if keep_dead_nodes:
+        return slope_time_scan(step, params, n1=50, n2=550, args=(mesh,))
     return slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
 
 
@@ -241,6 +248,13 @@ def main():
             f"{dt_lh * 1e3:.4g}")
     except Exception as e:
         extra["lattice_922k_holes_error"] = repr(e)[:200]
+    try:
+        dt_dead = bench_922k_lattice_holes(ht, slope_time_scan,
+                                           keep_dead_nodes=True)
+        extra["lattice_922k_holes_dead_us_per_step_fwd_bwd"] = float(
+            f"{dt_dead * 1e6:.4g}")
+    except Exception as e:
+        extra["lattice_922k_holes_dead_error"] = repr(e)[:200]
     try:
         extra["plate_lbfgs600_warm_s"] = float(
             f"{bench_plate_solve(ht):.4g}")

@@ -65,10 +65,72 @@ class LatticeRoute:
     inv_map: jax.Array
     fwd_map: jax.Array
     edge_masks: dict
+    # blocked-window form of the permutation maps, built for large
+    # renumbered meshes: both fill directions are monotonic (node
+    # deletion preserves lattice order), so every block of lattice rows
+    # reads a CONTIGUOUS node window (and vice versa) — dynamic-slice a
+    # window, gather window-relative — which keeps each gather below
+    # the TPU's ~256K-row table-rate cliff (~2.5x row rate; same trick
+    # as mesh/banded.py and the auxspace P^T).
+    fw_rel: Optional[jax.Array] = None      # [NB, R] lattice<-node rel
+    fw_starts: Optional[jax.Array] = None   # [NB] node-window starts
+    bw_rel: Optional[jax.Array] = None      # [MB, S] node<-lattice rel
+    bw_starts: Optional[jax.Array] = None   # [MB] position-window starts
     nx: int = dataclasses.field(metadata=dict(static=True), default=0)
     ny: int = dataclasses.field(metadata=dict(static=True), default=0)
     identity: bool = dataclasses.field(metadata=dict(static=True),
                                        default=False)
+    fw_width: int = dataclasses.field(metadata=dict(static=True),
+                                      default=0)
+    bw_width: int = dataclasses.field(metadata=dict(static=True),
+                                      default=0)
+
+
+def _window_maps(inv_map: np.ndarray, pos: np.ndarray, n: int,
+                 nx: int, ny: int, target: int = 65536):
+    """Blocked-window tables for both fill directions (see the
+    LatticeRoute field comment).  Sentinel entries index the zeros row
+    appended at ``width`` inside each window."""
+    npos = nx * ny
+    # forward: lattice-position blocks read node windows
+    gb = max(1, target // ny)                 # lattice rows per block
+    nb = -(-nx // gb)
+    r = gb * ny
+    fw_rel = None
+    fw_width = 0
+    lo = np.zeros(nb, np.int64)
+    hi = np.zeros(nb, np.int64)
+    for b in range(nb):
+        sl = inv_map[b * r:(b + 1) * r]
+        valid = sl[sl < n]
+        lo[b], hi[b] = ((int(valid.min()), int(valid.max()))
+                        if valid.size else (0, 0))
+    fw_width = min(int((hi - lo + 1).max()), n)
+    fw_starts = np.minimum(lo, n - fw_width).astype(np.int32)
+    fw_rel = np.full((nb, r), fw_width, np.int64)
+    for b in range(nb):
+        sl = inv_map[b * r:(b + 1) * r]
+        row = np.where(sl < n, sl - fw_starts[b], fw_width)
+        fw_rel[b, :sl.size] = row
+
+    # backward: node blocks read lattice-position (cotangent) windows
+    sb = target
+    mb = -(-n // sb)
+    blo = np.zeros(mb, np.int64)
+    bhi = np.zeros(mb, np.int64)
+    for b in range(mb):
+        pp = pos[b * sb:(b + 1) * sb]
+        blo[b], bhi[b] = int(pp.min()), int(pp.max())
+    bw_width = min(int((bhi - blo + 1).max()), npos)
+    bw_starts = np.minimum(blo, npos - bw_width).astype(np.int32)
+    bw_rel = np.full((mb, sb), bw_width, np.int64)
+    for b in range(mb):
+        pp = pos[b * sb:(b + 1) * sb]
+        bw_rel[b, :pp.size] = pp - bw_starts[b]
+
+    return (jnp.asarray(fw_rel), jnp.asarray(fw_starts),
+            jnp.asarray(bw_rel), jnp.asarray(bw_starts),
+            int(fw_width), int(bw_width))
 
 
 def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
@@ -165,7 +227,22 @@ def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
     identity = bool(n == nx * ny and (pos == np.arange(n)).all())
     inv_map = np.full(nx * ny, n, np.int32)
     inv_map[pos] = np.arange(n, dtype=np.int32)
+
+    # NOTE: a blocked-window form of the fill exists (_window_maps +
+    # ops/lattice_energy._perm_fill_win, equality-tested) but measured
+    # SLOWER than the flat gather at 922K/3-hole on v5e (fwd 3.35 vs
+    # 2.45 ms; fwd+bwd 5.36 vs 4.68): the ~190 Mrows/s gather rate holds
+    # regardless of windowing for this near-sequential permutation, so
+    # windows only add slice/concat overhead.  Flat stays the default;
+    # for the full structured speed on hole meshes use
+    # ``generate_mesh(..., keep_dead_nodes=True)`` (identity numbering,
+    # zero gathers).
+    fw_rel, fw_starts, bw_rel, bw_starts, fw_width, bw_width = \
+        (None,) * 4 + (0, 0)
     return LatticeRoute(
+        fw_rel=fw_rel, fw_starts=fw_starts,
+        bw_rel=bw_rel, bw_starts=bw_starts,
+        fw_width=fw_width, bw_width=bw_width,
         sel=jnp.asarray(sel.reshape(nx - 1, ny - 1)),
         t1=jnp.asarray(t1.reshape(nx - 1, ny - 1)),
         t2=jnp.asarray(t2.reshape(nx - 1, ny - 1)),

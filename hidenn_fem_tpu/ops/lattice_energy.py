@@ -52,6 +52,50 @@ def _perm_fill_bwd(fwd_map, ct):
 _perm_fill.defvjp(_perm_fill_fwd, _perm_fill_bwd)
 
 
+def _win_gather(src: jax.Array, rel: jax.Array, starts: jax.Array,
+                width: int) -> jax.Array:
+    """Blocked-window gather: per block, dynamic-slice a [width, C]
+    window of ``src`` and gather window-relative rows (sentinel
+    ``width`` hits an appended zeros row).  Keeps every gather table
+    below the TPU's ~256K-row rate cliff."""
+    c = src.shape[1]
+
+    def body(_, inp):
+        rel_b, s = inp
+        win = jax.lax.dynamic_slice(src, (s, 0), (width, c))
+        win = jnp.concatenate([win, jnp.zeros((1, c), src.dtype)])
+        return None, win[rel_b]
+
+    _, out = jax.lax.scan(body, None, (rel, starts))
+    return out.reshape(-1, c)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _perm_fill_win(fw_width, bw_width, node, fw_rel, fw_starts,
+                   bw_rel, bw_starts):
+    """Windowed permutation fill: [N, C] node table -> [NB*R >= nx*ny, C]
+    lattice rows (blocked both directions; see mesh/lattice.py)."""
+    return _win_gather(node, fw_rel, fw_starts, fw_width)
+
+
+def _perm_fill_win_fwd(fw_width, bw_width, node, fw_rel, fw_starts,
+                       bw_rel, bw_starts):
+    out = _win_gather(node, fw_rel, fw_starts, fw_width)
+    return out, (bw_rel, bw_starts, node.shape[0])
+
+
+def _perm_fill_win_bwd(fw_width, bw_width, res, ct):
+    bw_rel, bw_starts, n = res
+    node_ct = _win_gather(ct, bw_rel, bw_starts, bw_width)[:n]
+    return node_ct, None, None, None, None
+
+
+_perm_fill_win.defvjp(_perm_fill_win_fwd, _perm_fill_win_bwd)
+
+
 def _tri_energy(v0, v1, v2, f, nu):
     """P1 plane-stress element energy density x |detJ| for one triangle
     family of corner slices [..., 4] = (cx, cy, ux, uy) — the identical
@@ -80,6 +124,12 @@ def _tri_energy(v0, v1, v2, f, nu):
 def _lat(node: jax.Array, route) -> jax.Array:
     if route.identity:
         return node.reshape(route.nx, route.ny, 4)
+    if route.fw_rel is not None:
+        filled = _perm_fill_win(route.fw_width, route.bw_width, node,
+                                route.fw_rel, route.fw_starts,
+                                route.bw_rel, route.bw_starts)
+        return filled[:route.nx * route.ny].reshape(
+            route.nx, route.ny, 4)
     return _perm_fill(node, route.inv_map, route.fwd_map).reshape(
         route.nx, route.ny, 4)
 

@@ -119,6 +119,70 @@ def test_route_in_solver():
     assert np.isclose(float(l_lat[-1]), float(l_ref[-1]), rtol=1e-4)
 
 
+def test_keep_dead_nodes_equivalent():
+    """generate_mesh(keep_dead_nodes=True) keeps hole-interior nodes as
+    pinned dead DOFs: identity lattice numbering (zero-gather route),
+    identical element set, and the solve reaches the same plateau and
+    displacement extrema as the renumbered mesh."""
+    holes = ((1.0, 0.5, 0.25),)
+    m_ren = generate_mesh(nx=33, ny=17, holes=holes)
+    m_dead = generate_mesh(nx=33, ny=17, holes=holes,
+                           keep_dead_nodes=True)
+    assert m_dead.n_elements == m_ren.n_elements
+    assert m_dead.n_nodes == 33 * 17
+    assert m_dead.lattice is not None and m_dead.lattice.identity
+    model = ht.TriangleP1()
+    energy = ht.PlaneStressEnergy(model=model, backend="xla")
+    s1, l1 = ht.run_lbfgs(
+        energy.total, model.init(jax.random.PRNGKey(0), m_ren),
+        num_steps=150, loss_args=(m_ren,))
+    s2, l2 = ht.run_lbfgs(
+        energy.total, model.init(jax.random.PRNGKey(0), m_dead),
+        num_steps=150, loss_args=(m_dead,))
+    assert np.isclose(float(l1[-1]), float(l2[-1]), rtol=1e-4)
+    u1 = np.asarray(model.u_full(s1, m_ren))
+    u2 = np.asarray(model.u_full(s2, m_dead))
+    assert np.isclose(np.abs(u1).max(), np.abs(u2).max(), rtol=1e-3)
+    # dead nodes (referenced by no triangle) carry exactly-zero values
+    referenced = np.zeros(m_dead.n_nodes, bool)
+    referenced[np.asarray(m_dead.connectivity).ravel()] = True
+    assert (~referenced).any()
+    assert np.abs(u2[~referenced]).max() == 0.0
+
+
+def test_windowed_fill_equals_flat():
+    """The blocked-window permutation fill (kept as a measured-negative
+    lead: slower than flat on v5e, see mesh/lattice.py note) stays
+    numerically identical to the flat fill."""
+    import dataclasses
+
+    from hidenn_fem_tpu.mesh import lattice as L
+
+    mesh = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),),
+                         variant="zigzag")
+    rt = mesh.lattice
+    w = L._window_maps(np.asarray(rt.inv_map),
+                       np.asarray(rt.fwd_map, np.int64),
+                       mesh.n_nodes, rt.nx, rt.ny, target=64)
+    rt_w = dataclasses.replace(rt, fw_rel=w[0], fw_starts=w[1],
+                               bw_rel=w[2], bw_starts=w[3],
+                               fw_width=w[4], bw_width=w[5])
+    mesh_w = dataclasses.replace(mesh, lattice=rt_w)
+    model = ht.TriangleP1()
+    params = _perturbed_params(model, mesh)
+    energy = ht.PlaneStressEnergy(model=model, backend="xla")
+    v_w = float(energy(params, mesh_w))
+    v_f = float(energy(params, mesh))
+    assert np.isclose(v_w, v_f, rtol=1e-6)
+    g_w = jax.grad(lambda p: energy(p, mesh_w))(params)
+    g_f = jax.grad(lambda p: energy(p, mesh))(params)
+    for k in g_f:
+        ref = np.asarray(g_f[k])
+        np.testing.assert_allclose(np.asarray(g_w[k]), ref, rtol=5e-4,
+                                   atol=1e-5 * max(np.abs(ref).max(),
+                                                   1e-30))
+
+
 def test_perm_fill_gradient():
     """The permutation fill's custom backward (a gather, not a scatter)
     equals the autodiff of an equivalent dense formulation."""
