@@ -168,15 +168,21 @@ def lattice_total(node: jax.Array, route, E: float, nu: float,
     t . integral u ds = ds * (t_x (u0x+u1x) + t_y (u0y+u1y)) / 2."""
     lat = _lat(node, route)       # built once, shared by both terms
     dom = _domain_from_lat(lat, route, E, nu, w_sum)
+    return dom - _edge_work(lat, route, t_x, t_y)
+
+
+def _edge_work(lat: jax.Array, route, t_x: float, t_y: float = 0.0
+               ) -> jax.Array:
+    """Traction work from the lattice face slices (see lattice_total)."""
     if not route.edge_masks:
-        return dom
+        return jnp.zeros((), lat.dtype)
     sel = {
         "right": lambda k: lat[-1, :, k],
         "left": lambda k: lat[0, :, k],
         "up": lambda k: lat[:, -1, k],
         "down": lambda k: lat[:, 0, k],
     }
-    work = jnp.zeros((), node.dtype)
+    work = jnp.zeros((), lat.dtype)
     for face, mask in route.edge_masks.items():
         cx = sel[face](0)
         cy = sel[face](1)
@@ -189,4 +195,4 @@ def lattice_total(node: jax.Array, route, E: float, nu: float,
             uy = sel[face](3)
             work = work + t_y * jnp.sum(
                 mask * ds * 0.5 * (uy[1:] + uy[:-1]))
-    return dom - work
+    return work

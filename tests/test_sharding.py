@@ -261,3 +261,59 @@ def test_example7_sharded_small(eight_devices):
     params, losses = example7_sharded.main(nx=33, ny=17, n_devices=8,
                                            lbfgs_steps=40)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+@pytest.mark.parametrize("gen_kwargs", [
+    dict(),                                              # identity plate
+    dict(holes=((1.0, 0.5, 0.25),)),                     # perm-fill route
+    dict(holes=((1.0, 0.5, 0.25),), keep_dead_nodes=True),  # identity+holes
+], ids=["plate", "holes_renumbered", "holes_dead_nodes"])
+def test_sharded_lattice_energy_matches(eight_devices, gen_kwargs):
+    """The row-sharded lattice route (GSPMD dead-quad-row padding,
+    parallel/sharded_lattice.py) matches the single-device lattice
+    energy — value and both gradient groups — on all three route
+    flavors: identity plate, renumbered hole mesh (replicated perm
+    fill), and keep_dead_nodes hole mesh (zero gathers)."""
+    from hidenn_fem_tpu.mesh.structured import generate_mesh
+    from hidenn_fem_tpu.parallel.sharded_lattice import (
+        sharded_lattice_energy)
+
+    mesh = generate_mesh(nx=33, ny=17, **gen_kwargs)
+    assert mesh.lattice is not None
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    dmesh = sh.device_mesh(8)
+    loss_fn = sharded_lattice_energy(energy, dmesh)
+
+    e0 = float(energy(params, mesh))
+    e1 = float(jax.jit(loss_fn)(params, mesh))
+    assert np.isclose(e0, e1, rtol=1e-5), (e0, e1)
+    g0 = jax.grad(lambda p: energy(p, mesh))(params)
+    g1 = jax.jit(jax.grad(loss_fn))(params, mesh)
+    for k in g0:
+        ref = np.asarray(g0[k])
+        np.testing.assert_allclose(np.asarray(g1[k]), ref, rtol=5e-4,
+                                   atol=1e-6 * max(np.abs(ref).max(),
+                                                   1e-30))
+
+
+def test_sharded_lattice_is_actually_sharded(eight_devices):
+    """The compiled sharded-lattice step really distributes: the padded
+    lattice operand is row-sharded in the compiled HLO (not replicated
+    onto every device)."""
+    from hidenn_fem_tpu.mesh.structured import generate_mesh
+    from hidenn_fem_tpu.parallel.sharded_lattice import (
+        sharded_lattice_energy)
+
+    mesh = generate_mesh(nx=65, ny=33)
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    dmesh = sh.device_mesh(8)
+    loss_fn = sharded_lattice_energy(energy, dmesh)
+    txt = jax.jit(jax.value_and_grad(loss_fn)).lower(
+        params, mesh).compile().as_text()
+    assert "devices=[8" in txt, "no 8-way sharded op in compiled HLO"
