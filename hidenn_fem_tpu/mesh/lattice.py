@@ -57,6 +57,13 @@ class LatticeRoute:
       identity: True when the node numbering IS the lattice numbering
         (no deleted nodes, lexicographic order) — the fill collapses to
         a reshape and the route does ZERO gathers (static).
+      uniform_sel: "up"/"down" when EVERY quad splits along the same
+        diagonal (static), else "".  Lets the energy pick the triangle
+        family at trace time instead of computing both and selecting —
+        halves the element FLOPs (forward AND backward) for the
+        generator's "up"/"down" variants; "zigzag" keeps the where.
+      all_present: True when t1 == t2 == 1 everywhere (no hole-dropped
+        triangles) — the presence-mask multiplies drop out (static).
     """
 
     sel: jax.Array
@@ -84,6 +91,10 @@ class LatticeRoute:
                                       default=0)
     bw_width: int = dataclasses.field(metadata=dict(static=True),
                                       default=0)
+    uniform_sel: str = dataclasses.field(metadata=dict(static=True),
+                                         default="")
+    all_present: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
 
 
 def _window_maps(inv_map: np.ndarray, pos: np.ndarray, n: int,
@@ -249,4 +260,7 @@ def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
         inv_map=jnp.asarray(inv_map),
         fwd_map=jnp.asarray(pos.astype(np.int32)),
         edge_masks=edge_masks,
-        nx=int(nx), ny=int(ny), identity=identity)
+        nx=int(nx), ny=int(ny), identity=identity,
+        uniform_sel=("up" if (sel == 1.0).all()
+                     else "down" if (sel == 0.0).all() else ""),
+        all_present=bool((t1 == 1.0).all() and (t2 == 1.0).all()))

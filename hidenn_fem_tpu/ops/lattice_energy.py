@@ -122,16 +122,25 @@ def _tri_energy(v0, v1, v2, f, nu):
 
 
 def _lat(node: jax.Array, route) -> jax.Array:
+    """Node table [N, 4] -> [nx, ny, 4] lattice.
+
+    Layout note (tested negative): splitting into four [nx, ny]
+    component slabs before the stencil — hypothesized to beat the
+    minor-dim-4 array on lane utilization — measured SLOWER on v5e at
+    every scale once the statically-uniform diagonal pick landed
+    (922K identity fwd+bwd 209 vs 173 us; 6.4K 7.0 vs 3.7 us): XLA
+    fuses the [..., k] component slices into the element algebra, so
+    the slab split only added materialized transposes."""
     if route.identity:
-        return node.reshape(route.nx, route.ny, 4)
-    if route.fw_rel is not None:
-        filled = _perm_fill_win(route.fw_width, route.bw_width, node,
-                                route.fw_rel, route.fw_starts,
-                                route.bw_rel, route.bw_starts)
-        return filled[:route.nx * route.ny].reshape(
-            route.nx, route.ny, 4)
-    return _perm_fill(node, route.inv_map, route.fwd_map).reshape(
-        route.nx, route.ny, 4)
+        full = node
+    elif route.fw_rel is not None:
+        full = _perm_fill_win(route.fw_width, route.bw_width, node,
+                              route.fw_rel, route.fw_starts,
+                              route.bw_rel,
+                              route.bw_starts)[:route.nx * route.ny]
+    else:
+        full = _perm_fill(node, route.inv_map, route.fwd_map)
+    return full.reshape(route.nx, route.ny, 4)
 
 
 def lattice_domain_energy(node: jax.Array, route, E: float, nu: float,
@@ -140,23 +149,34 @@ def lattice_domain_energy(node: jax.Array, route, E: float, nu: float,
     return _domain_from_lat(_lat(node, route), route, E, nu, w_sum)
 
 
-def _domain_from_lat(lat: jax.Array, route, E: float, nu: float,
+def _domain_from_lat(lat, route, E: float, nu: float,
                      w_sum: float) -> jax.Array:
     f = E / (1.0 - nu ** 2)
     n00 = lat[:-1, :-1]
     n10 = lat[1:, :-1]
     n11 = lat[1:, 1:]
     n01 = lat[:-1, 1:]
-    sel = route.sel
     # slot-1 triangle: up = (n00, n10, n11), down = (n00, n10, n01);
-    # slot-2: up = (n00, n11, n01), down = (n10, n11, n01).  The where
-    # selects per quad; t1/t2 mask hole-dropped triangles.
-    e1 = jnp.where(sel > 0,
-                   _tri_energy(n00, n10, n11, f, nu),
-                   _tri_energy(n00, n10, n01, f, nu))
-    e2 = jnp.where(sel > 0,
-                   _tri_energy(n00, n11, n01, f, nu),
-                   _tri_energy(n10, n11, n01, f, nu))
+    # slot-2: up = (n00, n11, n01), down = (n10, n11, n01).  With a
+    # statically-uniform diagonal (the generator's "up"/"down"
+    # variants) the family is picked at TRACE time — half the element
+    # FLOPs, forward and backward — else a where selects per quad.
+    if route.uniform_sel == "up":
+        e1 = _tri_energy(n00, n10, n11, f, nu)
+        e2 = _tri_energy(n00, n11, n01, f, nu)
+    elif route.uniform_sel == "down":
+        e1 = _tri_energy(n00, n10, n01, f, nu)
+        e2 = _tri_energy(n10, n11, n01, f, nu)
+    else:
+        sel = route.sel
+        e1 = jnp.where(sel > 0,
+                       _tri_energy(n00, n10, n11, f, nu),
+                       _tri_energy(n00, n10, n01, f, nu))
+        e2 = jnp.where(sel > 0,
+                       _tri_energy(n00, n11, n01, f, nu),
+                       _tri_energy(n10, n11, n01, f, nu))
+    if route.all_present:       # no hole-dropped triangles: masks drop
+        return w_sum * (jnp.sum(e1) + jnp.sum(e2))
     return w_sum * jnp.sum(route.t1 * e1 + route.t2 * e2)
 
 
@@ -171,8 +191,7 @@ def lattice_total(node: jax.Array, route, E: float, nu: float,
     return dom - _edge_work(lat, route, t_x, t_y)
 
 
-def _edge_work(lat: jax.Array, route, t_x: float, t_y: float = 0.0
-               ) -> jax.Array:
+def _edge_work(lat, route, t_x: float, t_y: float = 0.0) -> jax.Array:
     """Traction work from the lattice face slices (see lattice_total)."""
     if not route.edge_masks:
         return jnp.zeros((), lat.dtype)

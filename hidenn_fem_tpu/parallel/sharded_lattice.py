@@ -56,6 +56,7 @@ def _pad_route_rows(route, k: int):
         t1=jnp.pad(route.t1, z),
         t2=jnp.pad(route.t2, z),
         edge_masks={},
+        all_present=False,      # pad quads rely on the t1/t2 masks
         nx=route.nx + k)
 
 

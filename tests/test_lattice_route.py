@@ -207,3 +207,18 @@ def test_perm_fill_gradient():
     np.testing.assert_allclose(np.asarray(jax.grad(f)(node)),
                                np.asarray(jax.grad(f_ref)(node)),
                                rtol=1e-6)
+
+
+def test_static_route_flags():
+    """uniform_sel / all_present are static trace-time specializations
+    (ops/lattice_energy._domain_from_lat picks the triangle family and
+    drops the presence masks); detection must set them exactly."""
+    rt = generate_mesh(nx=9, ny=5, holes=(), variant="up").lattice
+    assert rt.uniform_sel == "up" and rt.all_present
+    rt = generate_mesh(nx=9, ny=5, holes=(), variant="down").lattice
+    assert rt.uniform_sel == "down" and rt.all_present
+    rt = generate_mesh(nx=9, ny=5, holes=(), variant="zigzag").lattice
+    assert rt.uniform_sel == "" and rt.all_present
+    rt = generate_mesh(nx=33, ny=17, variant="up",
+                       holes=((1.0, 0.5, 0.25),)).lattice
+    assert rt.uniform_sel == "up" and not rt.all_present
