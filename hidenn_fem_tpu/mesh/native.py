@@ -10,7 +10,9 @@ Build (one-time, a few seconds):
     python -m hidenn_fem_tpu.mesh.native --build
 
 The library lands in ``csrc/build/libhdnn_mesh.so``; ``available()``
-reports whether it loaded.
+reports whether it loaded.  Set ``HDNN_NO_NATIVE=1`` to force the
+numpy fallbacks even when the library exists (debugging aid; also the
+quickest way to rule native code in or out of a crash).
 """
 
 from __future__ import annotations
@@ -40,6 +42,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    if os.environ.get("HDNN_NO_NATIVE"):
+        _lib = None
+        return None
     if os.path.exists(_LIB_PATH):
         try:
             lib = ctypes.CDLL(_LIB_PATH)
