@@ -23,6 +23,32 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _proc_map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _vm_map_guard():
+    """Drop XLA executable caches when the process nears vm.max_map_count.
+
+    Every XLA:CPU compile mmaps JIT code pages that stay mapped while the
+    executable is cached; across the ~190-test suite the process crosses
+    the default ``vm.max_map_count`` (65,530) and LLVM's JIT segfaults on
+    the failed mmap (measured: maps hit 65,261 at the exact test where
+    three full-suite runs died; reproduced with the native lib disabled).
+    ``jax.clear_caches()`` unmaps them, at the cost of cross-module
+    recompiles, so only fire when actually near the ceiling — the largest
+    single module adds ~15K maps.
+    """
+    yield
+    if _proc_map_count() > 30_000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()
