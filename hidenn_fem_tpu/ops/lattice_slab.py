@@ -1,0 +1,310 @@
+"""Single-pass Pallas value-and-grad kernel for the lattice route.
+
+The XLA lattice route (``ops/lattice_energy.py``) is bandwidth-bound on
+materialized intermediates: the compiled 922K value step makes ~3 full
+HBM passes before its stencil reduction (Dirichlet selects, the packed
+[N, 4] node table, plus the reduce's own read) and the backward adds
+several more — measured 74 us value / 157 us fwd+bwd against a ~10 us
+read floor (tools/microbench_lattice.py).
+
+This module evaluates the SAME P1 plane-stress domain energy from a
+channel-major slab tensor [4, R, ny] (R = row-padded nx) in ONE Pallas
+pass per direction:
+
+* channels (cx, cy, ux, uy) ride the MAJOR dim, so every in-kernel
+  2D slab [rows, ny] puts mesh columns on the 128-wide lanes —
+  the [.., 4] channels-minor layout would use 4/128 lanes;
+* each grid instance manually DMAs a [4, BI+8, ny] row window
+  (Mosaic slices must be 8-row aligned; one halo row above, up to
+  seven below) into VMEM scratch, computes both
+  triangle-family energies of all window quads, and emits
+
+    - the energy of its OWNED quad rows (grid-sequential accumulation
+      into an SMEM scalar — owned rows partition the quad range, so
+      halo quads are recomputed but never double-counted), and
+    - complete gradients for its BI node rows (every quad touching
+      them is in-window), via ``jax.grad`` of the masked window energy
+      *inside* the kernel body — AD at trace time, the manual formula
+      can never drift from the forward;
+
+* zero pad rows are masked out by the quad-validity test (a quad with
+  a pad row would otherwise contribute garbage energy: zero coords
+  against real coords give det != 0).
+
+Supported routes (v1): ``identity`` node numbering with a statically
+uniform diagonal ("up"/"down") and no hole-dropped triangles — the
+structured generator's hole-free output, i.e. the benchmark meshes.
+Everything else falls back to the XLA lattice route.  f32 only (the
+repo's Pallas kernels are f32; f64 falls back).
+
+Matches the reference hot path ``/root/reference/src/loss.py:55-116``;
+numerics equality-tested against ``lattice_energy.lattice_total`` in
+``tests/test_lattice_slab.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lattice_total_slab", "slab_supported"]
+
+_BI = 128          # owned node rows per grid instance
+_EPS_DET = 1e-12
+
+
+def slab_supported(route, dtype) -> bool:
+    """True when the v1 slab kernel covers this route (module doc)."""
+    return (route is not None and route.identity
+            and route.uniform_sel in ("up", "down") and route.all_present
+            and dtype == jnp.float32)
+
+
+def _tri_e(v0, v1, v2, f, nu, w_sum):
+    """Element energy of one triangle family from corner channel tuples
+    (cx, cy, ux, uy) of 2D slabs — same algebra as
+    ``lattice_energy._tri_energy`` / ``pallas_energy._block_energy_lanes``."""
+    ax = v0[0] - v2[0]
+    ay = v0[1] - v2[1]
+    bx = v1[0] - v2[0]
+    by = v1[1] - v2[1]
+    d0x = v0[2] - v2[2]
+    d0y = v0[3] - v2[3]
+    d1x = v1[2] - v2[2]
+    d1y = v1[3] - v2[3]
+    det = ax * by - bx * ay
+    safe = jnp.where(jnp.abs(det) < _EPS_DET,
+                     jnp.where(det < 0, -_EPS_DET, _EPS_DET), det)
+    inv = 1.0 / safe
+    exx = (by * d0x - ay * d1x) * inv
+    eyy = (-bx * d0y + ax * d1y) * inv
+    gxy = ((by * d0y - ay * d1y) + (-bx * d0x + ax * d1x)) * inv
+    dens = 0.5 * (f * (exx * exx + eyy * eyy + 2.0 * nu * exx * eyy)
+                  + f * (1.0 - nu) / 2.0 * gxy * gxy)
+    return w_sum * jnp.abs(det) * dens
+
+
+def _window_energies(chans, sel_up, f, nu, w_sum):
+    """Both-family quad energies [rows, lanes] of one window given as
+    four 2D channel slabs (cx, cy, ux, uy).
+
+    Corner shifts are ``jnp.roll`` (lowered to cheap lane/sublane
+    rotates), NOT slices: inside the kernel this function sits under
+    ``jax.grad``, and a slice's transpose is a pad Mosaic cannot lower
+    for these shapes, while a roll's transpose is just the opposite
+    roll.  Wrapped rows/columns are killed by the validity masks.
+    """
+    n00 = chans
+    n10 = tuple(jnp.roll(x, -1, axis=0) for x in chans)
+    n01 = tuple(jnp.roll(x, -1, axis=1) for x in chans)
+    n11 = tuple(jnp.roll(x, -1, axis=1) for x in n10)
+    if sel_up:
+        return (_tri_e(n00, n10, n11, f, nu, w_sum)
+                + _tri_e(n00, n11, n01, f, nu, w_sum))
+    return (_tri_e(n00, n10, n01, f, nu, w_sum)
+            + _tri_e(n10, n11, n01, f, nu, w_sum))
+
+
+def _masks(i, bi, shape, nx, ny):
+    """(valid, owned) quad masks [nquads, nlanes] for grid instance i.
+
+    Window local quad row q covers padded rows (q, q+1) = global node
+    rows (i*bi - 1 + q, i*bi + q); valid iff both rows are real AND the
+    quad column c <= ny-2 (lanes are 128-padded with zeros; the mask
+    also kills the roll-wrapped last row/column).  Owned rows q < bi
+    give the disjoint global partition [i*bi-1, i*bi+bi-1).
+    """
+    q = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    qg = i * bi - 1 + q
+    valid = (qg >= 0) & (qg <= nx - 2) & (c <= ny - 2)
+    owned = valid & (q < bi)
+    return valid, owned
+
+
+def _vg_kernel(slab_hbm, e_ref, g_ref, w, sem, *, f, nu, w_sum, nx, ny,
+               bi, sel_up):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
+
+    dma = pltpu.make_async_copy(
+        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
+    dma.start()
+    dma.wait()
+    chans = tuple(w[k] for k in range(4))
+    valid, owned = _masks(i, bi, chans[0].shape, nx, ny)
+
+    def masked(chans):
+        e = _window_energies(chans, sel_up, f, nu, w_sum)
+        return (jnp.sum(jnp.where(valid, e, 0.0)),
+                jnp.sum(jnp.where(owned, e, 0.0)))
+
+    g, e_owned = jax.grad(masked, has_aux=True)(chans)
+    e_ref[0, 0] += e_owned
+    for k in range(4):
+        g_ref[k] = g[k][1:bi + 1, :]
+
+
+def _fwd_kernel(slab_hbm, e_ref, w, sem, *, f, nu, w_sum, nx, ny, bi,
+                sel_up):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
+
+    dma = pltpu.make_async_copy(
+        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
+    dma.start()
+    dma.wait()
+    chans = tuple(w[k] for k in range(4))
+    _, owned = _masks(i, bi, chans[0].shape, nx, ny)
+    e = _window_energies(chans, sel_up, f, nu, w_sum)
+    e_ref[0, 0] += jnp.sum(jnp.where(owned, e, 0.0))
+
+
+def _pack(node, nx, ny, nb, bi):
+    """[N, 4] node table -> channel-major padded slab [4, nb*bi+2, ny].
+
+    One zero row above (so every window DMA is in-bounds) and enough
+    below to complete the last block's 8-aligned window (rows
+    [i*bi, i*bi + bi + 8); the up-to-seven extra quad rows per window
+    are masked out or grad-discarded).  The [N, 4] -> [4, N]
+    transpose is usually a relayout no-op: XLA already stores the packed
+    table minor-dim-first ({0,1:T(4,128)}, see module doc bench notes).
+    """
+    slab = node.T.reshape(4, nx, ny)
+    nyp = -(-ny // 128) * 128
+    return jnp.pad(slab, ((0, 0), (1, nb * bi + 7 - nx),
+                          (0, nyp - ny)))
+
+
+def _grid(nx):
+    bi = min(_BI, max(8, -(-nx // 8) * 8))
+    nb = -(-nx // bi)
+    return nb, bi
+
+
+def _pallas_vg(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up, interpret):
+    nyp = slab.shape[2]
+    e, g = pl.pallas_call(
+        functools.partial(_vg_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
+                          ny=ny, bi=bi, sel_up=sel_up),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, bi, nyp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), slab.dtype),
+            jax.ShapeDtypeStruct((4, nb * bi, nyp), slab.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, bi + 8, nyp), slab.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(slab)
+    return e[0, 0], g
+
+
+def _pallas_fwd(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up, interpret):
+    nyp = slab.shape[2]
+    e = pl.pallas_call(
+        functools.partial(_fwd_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
+                          ny=ny, bi=bi, sel_up=sel_up),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), slab.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, bi + 8, nyp), slab.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(slab)
+    return e[0, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _domain_slab(node, nx, ny, E, nu, w_sum, opts):
+    """Domain elastic energy from the [N, 4] node table via the slab
+    kernel.  ``opts = (sel_up, interpret)`` static."""
+    sel_up, interpret = opts
+    nb, bi = _grid(nx)
+    f = E / (1.0 - nu ** 2)
+    slab = _pack(node, nx, ny, nb, bi)
+    return _pallas_fwd(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up,
+                       interpret)
+
+
+def _domain_slab_fwd(node, nx, ny, E, nu, w_sum, opts):
+    sel_up, interpret = opts
+    nb, bi = _grid(nx)
+    f = E / (1.0 - nu ** 2)
+    slab = _pack(node, nx, ny, nb, bi)
+    val, g = _pallas_vg(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up,
+                        interpret)
+    return val, g
+
+
+def _domain_slab_bwd(nx, ny, E, nu, w_sum, opts, g, ct):
+    # g rows [0, nx) ARE the node rows; [4, N] -> [N, 4] is again the
+    # relayout-friendly transpose (module doc).
+    node_ct = ct * g[:, :nx, :ny].reshape(4, nx * ny).T
+    return (node_ct,)
+
+
+_domain_slab.defvjp(_domain_slab_fwd, _domain_slab_bwd)
+
+
+def _edge_work_from_node(node, route, t_x, t_y=0.0):
+    """Uniform-traction edge work from direct node-table slices (no
+    lattice materialization; identity numbering only).  Same exact
+    integral as ``lattice_energy._edge_work``."""
+    nx, ny = route.nx, route.ny
+    if not route.edge_masks:
+        return jnp.zeros((), node.dtype)
+    sel = {
+        "right": lambda k: node[(nx - 1) * ny:, k],
+        "left": lambda k: node[:ny, k],
+        "up": lambda k: node[ny - 1::ny, k],
+        "down": lambda k: node[::ny, k],
+    }
+    work = jnp.zeros((), node.dtype)
+    for face, mask in route.edge_masks.items():
+        cx = sel[face](0)
+        cy = sel[face](1)
+        ds = jnp.sqrt((cx[1:] - cx[:-1]) ** 2 + (cy[1:] - cy[:-1]) ** 2)
+        if t_x:
+            ux = sel[face](2)
+            work = work + t_x * jnp.sum(
+                mask * ds * 0.5 * (ux[1:] + ux[:-1]))
+        if t_y:
+            uy = sel[face](3)
+            work = work + t_y * jnp.sum(
+                mask * ds * 0.5 * (uy[1:] + uy[:-1]))
+    return work
+
+
+def lattice_total_slab(node, route, E, nu, w_sum, t_x, t_y=0.0,
+                       interpret=False):
+    """domain - traction work via the slab kernel (module doc).
+
+    Caller must check :func:`slab_supported` first.
+    """
+    dom = _domain_slab(node, route.nx, route.ny, float(E), float(nu),
+                       float(w_sum),
+                       (route.uniform_sel == "up", interpret))
+    return dom - _edge_work_from_node(node, route, t_x, t_y)

@@ -446,6 +446,24 @@ class PlaneStressEnergy:
         node = self.model.packed_nodes(params, mesh)
         w_sum = quad.triangle_weight_sum(self.gauss_order)
         t_x = self.F_total / self.traction_length
+        backend = self._resolve_backend()
+        if backend in ("pallas", "pallas_interpret"):
+            # single-pass slab kernel: one fused HBM pass per direction
+            # instead of the XLA route's ~3 materializations each way
+            # (ops/lattice_slab.py; measured numbers there).  Env
+            # HDNN_NO_SLAB opts out (mirrors HDNN_NO_NATIVE); hardware
+            # routing is opt-in (HDNN_LATTICE_SLAB=1) until the on-chip
+            # A/B lands — interpret mode is equality-proven and always on.
+            import os
+            from .lattice_slab import lattice_total_slab, slab_supported
+            if (slab_supported(mesh.lattice, node.dtype)
+                    and not os.environ.get("HDNN_NO_SLAB")
+                    and (backend == "pallas_interpret"
+                         or os.environ.get("HDNN_LATTICE_SLAB"))):
+                return lattice_total_slab(
+                    node, mesh.lattice, float(self.E), float(self.nu),
+                    w_sum, float(t_x),
+                    interpret=(backend == "pallas_interpret"))
         return lattice_total(node, mesh.lattice, float(self.E),
                              float(self.nu), w_sum, float(t_x))
 
