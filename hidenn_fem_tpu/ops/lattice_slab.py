@@ -31,11 +31,13 @@ pass per direction:
   a pad row would otherwise contribute garbage energy: zero coords
   against real coords give det != 0).
 
-Supported routes (v1): ``identity`` node numbering with a statically
-uniform diagonal ("up"/"down") and no hole-dropped triangles — the
-structured generator's hole-free output, i.e. the benchmark meshes.
-Everything else falls back to the XLA lattice route.  f32 only (the
-repo's Pallas kernels are f32; f64 falls back).
+Supported routes: any ``identity`` node numbering — hole-free "up"/
+"down"/"zigzag" generator meshes AND ``keep_dead_nodes=True`` hole
+meshes.  Non-uniform diagonals read a ``sel`` mask channel, hole
+meshes the ``t1``/``t2`` presence channels; the needed channels ride a
+second DMA'd slab (constant, zero cotangent).  Renumbered (permutation
+-fill) meshes and f64 fall back to the XLA lattice route (the repo's
+Pallas kernels are f32).
 
 Matches the reference hot path ``/root/reference/src/loss.py:55-116``;
 numerics equality-tested against ``lattice_energy.lattice_total`` in
@@ -58,9 +60,8 @@ _EPS_DET = 1e-12
 
 
 def slab_supported(route, dtype) -> bool:
-    """True when the v1 slab kernel covers this route (module doc)."""
+    """True when the slab kernel covers this route (module doc)."""
     return (route is not None and route.identity
-            and route.uniform_sel in ("up", "down") and route.all_present
             and dtype == jnp.float32)
 
 
@@ -88,25 +89,45 @@ def _tri_e(v0, v1, v2, f, nu, w_sum):
     return w_sum * jnp.abs(det) * dens
 
 
-def _window_energies(chans, sel_up, f, nu, w_sum):
-    """Both-family quad energies [rows, lanes] of one window given as
-    four 2D channel slabs (cx, cy, ux, uy).
+def _window_energies(chans, route_masks, sel_up, all_present, f, nu,
+                     w_sum):
+    """Per-quad energies [rows, lanes] of one window given as four 2D
+    channel slabs (cx, cy, ux, uy).
 
     Corner shifts are ``jnp.roll`` (lowered to cheap lane/sublane
     rotates), NOT slices: inside the kernel this function sits under
     ``jax.grad``, and a slice's transpose is a pad Mosaic cannot lower
     for these shapes, while a roll's transpose is just the opposite
     roll.  Wrapped rows/columns are killed by the validity masks.
+
+    ``sel_up`` is True/False for a trace-time-uniform diagonal, None to
+    select per quad from the ``sel`` mask channel; ``route_masks``
+    carries the needed channels in order (sel?, t1?, t2?) — constants
+    w.r.t. the differentiated chans.
     """
     n00 = chans
     n10 = tuple(jnp.roll(x, -1, axis=0) for x in chans)
     n01 = tuple(jnp.roll(x, -1, axis=1) for x in chans)
     n11 = tuple(jnp.roll(x, -1, axis=1) for x in n10)
-    if sel_up:
-        return (_tri_e(n00, n10, n11, f, nu, w_sum)
-                + _tri_e(n00, n11, n01, f, nu, w_sum))
-    return (_tri_e(n00, n10, n01, f, nu, w_sum)
-            + _tri_e(n10, n11, n01, f, nu, w_sum))
+    idx = 0
+    if sel_up is None:
+        sel_w = route_masks[0]
+        idx = 1
+        e1 = jnp.where(sel_w > 0,
+                       _tri_e(n00, n10, n11, f, nu, w_sum),
+                       _tri_e(n00, n10, n01, f, nu, w_sum))
+        e2 = jnp.where(sel_w > 0,
+                       _tri_e(n00, n11, n01, f, nu, w_sum),
+                       _tri_e(n10, n11, n01, f, nu, w_sum))
+    elif sel_up:
+        e1 = _tri_e(n00, n10, n11, f, nu, w_sum)
+        e2 = _tri_e(n00, n11, n01, f, nu, w_sum)
+    else:
+        e1 = _tri_e(n00, n10, n01, f, nu, w_sum)
+        e2 = _tri_e(n10, n11, n01, f, nu, w_sum)
+    if all_present:
+        return e1 + e2
+    return route_masks[idx] * e1 + route_masks[idx + 1] * e2
 
 
 def _masks(i, bi, shape, nx, ny):
@@ -126,23 +147,44 @@ def _masks(i, bi, shape, nx, ny):
     return valid, owned
 
 
-def _vg_kernel(slab_hbm, e_ref, g_ref, w, sem, *, f, nu, w_sum, nx, ny,
-               bi, sel_up):
+def _read_window(refs, i, bi, mc):
+    """DMA the node window (and the mask window when ``mc`` channels
+    are needed) into VMEM scratch; returns (chans, route_masks)."""
+    if mc:
+        slab_hbm, mask_hbm = refs[0], refs[1]
+        w, mw, sem, msem = refs[-4:]
+        mdma = pltpu.make_async_copy(
+            mask_hbm.at[:, pl.ds(i * bi, bi + 8), :], mw, msem)
+        mdma.start()
+    else:
+        slab_hbm = refs[0]
+        w, sem = refs[-2:]
+    dma = pltpu.make_async_copy(
+        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
+    dma.start()
+    dma.wait()
+    route_masks = ()
+    if mc:
+        mdma.wait()
+        route_masks = tuple(mw[k] for k in range(mc))
+    return tuple(w[k] for k in range(4)), route_masks
+
+
+def _vg_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
+               mc):
     i = pl.program_id(0)
+    e_ref, g_ref = (refs[2], refs[3]) if mc else (refs[1], refs[2])
 
     @pl.when(i == 0)
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
-    dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
-    dma.start()
-    dma.wait()
-    chans = tuple(w[k] for k in range(4))
+    chans, route_masks = _read_window(refs, i, bi, mc)
     valid, owned = _masks(i, bi, chans[0].shape, nx, ny)
 
     def masked(chans):
-        e = _window_energies(chans, sel_up, f, nu, w_sum)
+        e = _window_energies(chans, route_masks, sel_up, all_present,
+                             f, nu, w_sum)
         return (jnp.sum(jnp.where(valid, e, 0.0)),
                 jnp.sum(jnp.where(owned, e, 0.0)))
 
@@ -152,21 +194,19 @@ def _vg_kernel(slab_hbm, e_ref, g_ref, w, sem, *, f, nu, w_sum, nx, ny,
         g_ref[k] = g[k][1:bi + 1, :]
 
 
-def _fwd_kernel(slab_hbm, e_ref, w, sem, *, f, nu, w_sum, nx, ny, bi,
-                sel_up):
+def _fwd_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
+                mc):
     i = pl.program_id(0)
+    e_ref = refs[2] if mc else refs[1]
 
     @pl.when(i == 0)
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
-    dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
-    dma.start()
-    dma.wait()
-    chans = tuple(w[k] for k in range(4))
+    chans, route_masks = _read_window(refs, i, bi, mc)
     _, owned = _masks(i, bi, chans[0].shape, nx, ny)
-    e = _window_energies(chans, sel_up, f, nu, w_sum)
+    e = _window_energies(chans, route_masks, sel_up, all_present, f,
+                         nu, w_sum)
     e_ref[0, 0] += jnp.sum(jnp.where(owned, e, 0.0))
 
 
@@ -192,78 +232,121 @@ def _grid(nx):
     return nb, bi
 
 
-def _pallas_vg(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up, interpret):
+def _pack_masks(route, sel_up, all_present, nb, bi, nyp, dtype):
+    """Needed route-mask channels (sel?, t1?, t2?) as a padded
+    [mc, nb*bi+8, nyp] slab whose row p holds global quad row p-1 —
+    aligned with the node windows, zero on every pad (t = 0 kills pad
+    quads; pad sel rows are already row-masked)."""
+    chans = []
+    if sel_up is None:
+        chans.append(route.sel)
+    if not all_present:
+        chans.extend([route.t1, route.t2])
+    if not chans:
+        return None
+    m = jnp.stack([jnp.asarray(c, dtype) for c in chans])
+    nxm, nym = m.shape[1], m.shape[2]
+    return jnp.pad(m, ((0, 0), (1, nb * bi + 7 - nxm),
+                       (0, nyp - nym)))
+
+
+def _specs(slab, masks, nx, ny, nb, bi, vg):
     nyp = slab.shape[2]
+    mc = 0 if masks is None else masks.shape[0]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    operands = [slab]
+    if mc:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(masks)
+    scalar = (pl.BlockSpec((1, 1), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM),
+              jax.ShapeDtypeStruct((1, 1), slab.dtype))
+    if vg:
+        out_specs = [scalar[0],
+                     pl.BlockSpec((4, bi, nyp), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [scalar[1],
+                     jax.ShapeDtypeStruct((4, nb * bi, nyp),
+                                          slab.dtype)]
+    else:
+        out_specs, out_shape = scalar
+    scratch = [pltpu.VMEM((4, bi + 8, nyp), slab.dtype)]
+    if mc:
+        scratch.append(pltpu.VMEM((mc, bi + 8, nyp), slab.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    if mc:
+        scratch.append(pltpu.SemaphoreType.DMA)
+    return in_specs, operands, out_specs, out_shape, scratch, mc
+
+
+def _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum, sel_up,
+               all_present, interpret):
+    in_specs, operands, out_specs, out_shape, scratch, mc = _specs(
+        slab, masks, nx, ny, nb, bi, vg=True)
     e, g = pl.pallas_call(
         functools.partial(_vg_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
-                          ny=ny, bi=bi, sel_up=sel_up),
+                          ny=ny, bi=bi, sel_up=sel_up,
+                          all_present=all_present, mc=mc),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, bi, nyp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, 1), slab.dtype),
-            jax.ShapeDtypeStruct((4, nb * bi, nyp), slab.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, bi + 8, nyp), slab.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(slab)
+    )(*operands)
     return e[0, 0], g
 
 
-def _pallas_fwd(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up, interpret):
-    nyp = slab.shape[2]
+def _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum, sel_up,
+                all_present, interpret):
+    in_specs, operands, out_specs, out_shape, scratch, mc = _specs(
+        slab, masks, nx, ny, nb, bi, vg=False)
     e = pl.pallas_call(
         functools.partial(_fwd_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
-                          ny=ny, bi=bi, sel_up=sel_up),
+                          ny=ny, bi=bi, sel_up=sel_up,
+                          all_present=all_present, mc=mc),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), slab.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((4, bi + 8, nyp), slab.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(slab)
+    )(*operands)
     return e[0, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def _domain_slab(node, nx, ny, E, nu, w_sum, opts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _domain_slab(node, masks, nx, ny, E, nu, w_sum, opts):
     """Domain elastic energy from the [N, 4] node table via the slab
-    kernel.  ``opts = (sel_up, interpret)`` static."""
-    sel_up, interpret = opts
+    kernel.  ``masks`` is the padded route-mask slab (or None);
+    ``opts = (sel_up, all_present, interpret)`` static."""
+    sel_up, all_present, interpret = opts
     nb, bi = _grid(nx)
     f = E / (1.0 - nu ** 2)
     slab = _pack(node, nx, ny, nb, bi)
-    return _pallas_fwd(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up,
-                       interpret)
+    return _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
+                       sel_up, all_present, interpret)
 
 
-def _domain_slab_fwd(node, nx, ny, E, nu, w_sum, opts):
-    sel_up, interpret = opts
+def _domain_slab_fwd(node, masks, nx, ny, E, nu, w_sum, opts):
+    sel_up, all_present, interpret = opts
     nb, bi = _grid(nx)
     f = E / (1.0 - nu ** 2)
     slab = _pack(node, nx, ny, nb, bi)
-    val, g = _pallas_vg(slab, nx, ny, nb, bi, f, nu, w_sum, sel_up,
-                        interpret)
-    return val, g
+    val, g = _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
+                        sel_up, all_present, interpret)
+    return val, (g, masks)
 
 
-def _domain_slab_bwd(nx, ny, E, nu, w_sum, opts, g, ct):
+def _domain_slab_bwd(nx, ny, E, nu, w_sum, opts, res, ct):
     # g rows [0, nx) ARE the node rows; [4, N] -> [N, 4] is again the
-    # relayout-friendly transpose (module doc).
+    # relayout-friendly transpose (module doc).  The mask cotangent is
+    # a symbolic zero nobody requests (route masks are mesh constants);
+    # XLA dead-code-eliminates it.
+    g, masks = res
     node_ct = ct * g[:, :nx, :ny].reshape(4, nx * ny).T
-    return (node_ct,)
+    mct = None if masks is None else jnp.zeros_like(masks)
+    return (node_ct, mct)
 
 
 _domain_slab.defvjp(_domain_slab_fwd, _domain_slab_bwd)
@@ -304,7 +387,12 @@ def lattice_total_slab(node, route, E, nu, w_sum, t_x, t_y=0.0,
 
     Caller must check :func:`slab_supported` first.
     """
-    dom = _domain_slab(node, route.nx, route.ny, float(E), float(nu),
-                       float(w_sum),
-                       (route.uniform_sel == "up", interpret))
+    sel_up = {"up": True, "down": False}.get(route.uniform_sel)
+    nb, bi = _grid(route.nx)
+    nyp = -(-route.ny // 128) * 128
+    masks = _pack_masks(route, sel_up, route.all_present, nb, bi, nyp,
+                        node.dtype)
+    dom = _domain_slab(node, masks, route.nx, route.ny, float(E),
+                       float(nu), float(w_sum),
+                       (sel_up, route.all_present, interpret))
     return dom - _edge_work_from_node(node, route, t_x, t_y)

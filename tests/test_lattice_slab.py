@@ -24,7 +24,7 @@ def _perturbed_params(model, mesh):
     return params
 
 
-@pytest.mark.parametrize("variant", ["up", "down"])
+@pytest.mark.parametrize("variant", ["up", "down", "zigzag"])
 @pytest.mark.parametrize("nx,ny", [(17, 9), (81, 41), (33, 65)])
 def test_slab_matches_xla_route(variant, nx, ny):
     mesh = generate_mesh(nx=nx, ny=ny, holes=(), variant=variant)
@@ -51,15 +51,42 @@ def test_slab_matches_xla_route(variant, nx, ny):
                                np.asarray(g_ref) / scale, atol=2e-6)
 
 
-def test_slab_support_detection():
+@pytest.mark.parametrize("variant", ["up", "zigzag"])
+def test_slab_matches_xla_route_keep_dead_holes(variant):
+    """keep_dead_nodes hole meshes stay identity-numbered with t1/t2
+    presence masks — the zero-gather hole path must ride the kernel."""
+    mesh = generate_mesh(nx=33, ny=17,
+                         holes=((0.6, 0.4, 0.15), (1.4, 0.6, 0.2)),
+                         variant=variant, keep_dead_nodes=True)
+    route = mesh.lattice
+    assert route.identity and not route.all_present
     model = ht.TriangleP1()
-    # zigzag has per-quad diagonals -> no uniform_sel -> unsupported
-    zig = generate_mesh(nx=17, ny=9, holes=(), variant="zigzag")
-    node = model.packed_nodes(model.init(jax.random.PRNGKey(0), zig), zig)
-    assert not slab_supported(zig.lattice, node.dtype)
-    # hole meshes are renumbered (identity=False) -> unsupported
+    params = _perturbed_params(model, mesh)
+    node = model.packed_nodes(params, mesh)
+    assert slab_supported(route, node.dtype)
+    w_sum = quad.triangle_weight_sum(4)
+    t_x = 100e3 / 1.0
+
+    def ref(n):
+        return lattice_total(n, route, 10e9, 0.3, w_sum, t_x)
+
+    def new(n):
+        return lattice_total_slab(n, route, 10e9, 0.3, w_sum, t_x,
+                                  interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(ref)(node)
+    v_new, g_new = jax.value_and_grad(new)(node)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=2e-6)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-30
+    np.testing.assert_allclose(np.asarray(g_new) / scale,
+                               np.asarray(g_ref) / scale, atol=2e-6)
+
+
+def test_slab_support_detection():
+    # renumbered hole meshes (permutation fill) -> unsupported
     hole = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),),
                          variant="up")
+    assert not hole.lattice.identity
     assert not slab_supported(hole.lattice, jnp.float32)
     # f64 falls back
     up = generate_mesh(nx=17, ny=9, holes=(), variant="up")
