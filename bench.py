@@ -229,10 +229,42 @@ def bench_mg_solve(ht):
     return best
 
 
+def _guard_device_init(timeout_s: int = 900):
+    """Fail loudly instead of hanging forever when the tunneled TPU
+    pool is unavailable (observed: ``jax.devices()`` blocks
+    indefinitely during a pool outage).  A daemon watchdog THREAD
+    bounds the first touch (SIGALRM cannot: the blocking PJRT call
+    releases the GIL but no Python bytecode runs on the main thread
+    to deliver the signal); on timeout it emits a valid one-line JSON
+    with the error marker so the driver records the outage instead of
+    stalling, then hard-exits."""
+    import os
+    import threading
+    import time
+
+    done = threading.Event()
+
+    def _watchdog():
+        if done.wait(timeout_s):
+            return
+        print(json.dumps({
+            "metric": "quadrature_point_evals_per_sec_fwd_bwd",
+            "value": 0.0, "unit": "qp/s", "vs_baseline": 0.0,
+            "extra": {"error": f"device init exceeded {timeout_s}s "
+                               "(TPU tunnel/pool unavailable)"},
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    done.set()
+
+
 def main():
     import hidenn_fem_tpu as ht
     from hidenn_fem_tpu.utils.profiling import slope_time_scan
 
+    _guard_device_init()
     qp_per_s = bench_6k(ht, slope_time_scan)
     extra = {}
     try:
