@@ -147,27 +147,44 @@ def _masks(i, bi, shape, nx, ny):
     return valid, owned
 
 
-def _read_window(refs, i, bi, mc):
-    """DMA the node window (and the mask window when ``mc`` channels
-    are needed) into VMEM scratch; returns (chans, route_masks)."""
+def _read_window(refs, i, bi, mc, nb):
+    """Double-buffered window reads: instance i kicks off instance
+    i+1's window DMAs before waiting on its own (started by i-1, or by
+    itself at i == 0), so the HBM reads overlap the previous window's
+    compute; returns (chans, route_masks) views of the current slot."""
     if mc:
         slab_hbm, mask_hbm = refs[0], refs[1]
-        w, mw, sem, msem = refs[-4:]
-        mdma = pltpu.make_async_copy(
-            mask_hbm.at[:, pl.ds(i * bi, bi + 8), :], mw, msem)
-        mdma.start()
+        w2, mw2, sem, msem = refs[-4:]
     else:
         slab_hbm = refs[0]
-        w, sem = refs[-2:]
-    dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(i * bi, bi + 8), :], w, sem)
-    dma.start()
-    dma.wait()
-    route_masks = ()
-    if mc:
-        mdma.wait()
-        route_masks = tuple(mw[k] for k in range(mc))
-    return tuple(w[k] for k in range(4)), route_masks
+        w2, sem = refs[-2:]
+
+    def dmas(j, slot):
+        d = [pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(j * bi, bi + 8), :],
+            w2.at[slot], sem.at[slot])]
+        if mc:
+            d.append(pltpu.make_async_copy(
+                mask_hbm.at[:, pl.ds(j * bi, bi + 8), :],
+                mw2.at[slot], msem.at[slot]))
+        return d
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(i, slot):
+            d.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for d in dmas(i + 1, 1 - slot):
+            d.start()
+
+    for d in dmas(i, slot):
+        d.wait()
+    route_masks = tuple(mw2[slot, k] for k in range(mc)) if mc else ()
+    return tuple(w2[slot, k] for k in range(4)), route_masks
 
 
 def _vg_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
@@ -179,7 +196,8 @@ def _vg_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
-    chans, route_masks = _read_window(refs, i, bi, mc)
+    chans, route_masks = _read_window(refs, i, bi, mc,
+                                      pl.num_programs(0))
     valid, owned = _masks(i, bi, chans[0].shape, nx, ny)
 
     def masked(chans):
@@ -203,7 +221,8 @@ def _fwd_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
-    chans, route_masks = _read_window(refs, i, bi, mc)
+    chans, route_masks = _read_window(refs, i, bi, mc,
+                                      pl.num_programs(0))
     _, owned = _masks(i, bi, chans[0].shape, nx, ny)
     e = _window_energies(chans, route_masks, sel_up, all_present, f,
                          nu, w_sum)
@@ -270,12 +289,12 @@ def _specs(slab, masks, nx, ny, nb, bi, vg):
                                           slab.dtype)]
     else:
         out_specs, out_shape = scalar
-    scratch = [pltpu.VMEM((4, bi + 8, nyp), slab.dtype)]
+    scratch = [pltpu.VMEM((2, 4, bi + 8, nyp), slab.dtype)]
     if mc:
-        scratch.append(pltpu.VMEM((mc, bi + 8, nyp), slab.dtype))
-    scratch.append(pltpu.SemaphoreType.DMA)
+        scratch.append(pltpu.VMEM((2, mc, bi + 8, nyp), slab.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if mc:
-        scratch.append(pltpu.SemaphoreType.DMA)
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     return in_specs, operands, out_specs, out_shape, scratch, mc
 
 
