@@ -345,6 +345,18 @@ class StructuredGridP1:
         return self._domain_from_node(self._node(params, grid), grid)
 
     def _domain_from_node(self, node, grid: StructuredGrid) -> jax.Array:
+        import os
+        if (node.dtype == jnp.float32
+                and os.environ.get("HDNN_LATTICE_SLAB")
+                and jax.default_backend() not in ("cpu",)):
+            # opt-in single-pass Pallas stencil (ops/lattice_slab.py);
+            # single-device only — the shard_map/GSPMD paths keep the
+            # XLA stencil (a pallas call does not GSPMD-partition).
+            from ..ops.lattice_slab import structured_domain_slab
+            return structured_domain_slab(node, grid.quad_mask,
+                                          grid.split,
+                                          grid.zigzag_phase,
+                                          self.E, self.nu)
         n00 = node[:-1, :-1]
         n10 = node[1:, :-1]
         n11 = node[1:, 1:]

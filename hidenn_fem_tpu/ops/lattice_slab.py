@@ -53,7 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lattice_total_slab", "slab_supported"]
+__all__ = ["lattice_total_slab", "slab_supported",
+           "structured_domain_slab"]
 
 _BI = 128          # owned node rows per grid instance
 _EPS_DET = 1e-12
@@ -415,3 +416,74 @@ def lattice_total_slab(node, route, E, nu, w_sum, t_x, t_y=0.0,
                        float(nu), float(w_sum),
                        (sel_up, route.all_present, interpret))
     return dom - _edge_work_from_node(node, route, t_x, t_y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _domain_slab3(node3, masks, E, nu, w_sum, opts):
+    """Slab-kernel domain energy from an [nx, ny, 4] node lattice
+    (StructuredGridP1 layout).  ``opts = (sel_up, interpret)``."""
+    sel_up, interpret = opts
+    nx, ny = node3.shape[0], node3.shape[1]
+    nb, bi = _grid(nx)
+    f = E / (1.0 - nu ** 2)
+    slab = _pack3(node3, nb, bi)
+    return _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
+                       sel_up, False, interpret)
+
+
+def _pack3(node3, nb, bi):
+    nx, ny = node3.shape[0], node3.shape[1]
+    nyp = -(-ny // 128) * 128
+    return jnp.pad(node3.transpose(2, 0, 1),
+                   ((0, 0), (1, nb * bi + 7 - nx), (0, nyp - ny)))
+
+
+def _domain_slab3_fwd(node3, masks, E, nu, w_sum, opts):
+    sel_up, interpret = opts
+    nx, ny = node3.shape[0], node3.shape[1]
+    nb, bi = _grid(nx)
+    f = E / (1.0 - nu ** 2)
+    slab = _pack3(node3, nb, bi)
+    val, g = _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
+                        sel_up, False, interpret)
+    return val, (g, masks, nx, ny)
+
+
+def _domain_slab3_bwd(E, nu, w_sum, opts, res, ct):
+    g, masks, nx, ny = res
+    node_ct = ct * g[:, :nx, :ny].transpose(1, 2, 0)
+    mct = None if masks is None else jnp.zeros_like(masks)
+    return (node_ct, mct)
+
+
+_domain_slab3.defvjp(_domain_slab3_fwd, _domain_slab3_bwd)
+
+
+def structured_domain_slab(node3, quad_mask, split, zigzag_phase, E,
+                           nu, interpret=False):
+    """``StructuredGridP1._domain_from_node`` via the slab kernel.
+
+    Same math: 0.5 * sum(quad_mask * e) with the split chosen per quad
+    ("zigzag" parity rides a sel channel built here; ``quad_mask``
+    rides the t1/t2 presence channels — it is a traced array, so the
+    all-active case cannot be specialized at trace time).  Opt-in from
+    the model via HDNN_LATTICE_SLAB (single-device TPU paths only; the
+    shard_map/GSPMD structured paths keep the XLA stencil).
+    """
+    nx, ny = node3.shape[0], node3.shape[1]
+    nb, bi = _grid(nx)
+    nyp = -(-ny // 128) * 128
+    sel_up = {"up": True, "down": False}.get(split)
+    chans = []
+    if sel_up is None:
+        ii = jnp.arange(nx - 1)[:, None]
+        jj = jnp.arange(ny - 1)[None, :]
+        chans.append((((ii + jj + zigzag_phase) % 2) == 0
+                      ).astype(node3.dtype))
+    qm = quad_mask.astype(node3.dtype)
+    chans.extend([qm, qm])
+    m = jnp.stack(chans)
+    masks = jnp.pad(m, ((0, 0), (1, nb * bi + 7 - (nx - 1)),
+                        (0, nyp - (ny - 1))))
+    return _domain_slab3(node3, masks, float(E), float(nu), 0.5,
+                         (sel_up, interpret))

@@ -129,3 +129,39 @@ def test_slab_env_opt_out(monkeypatch):
     monkeypatch.delenv("HDNN_NO_SLAB")
     v_on = float(energy(params, mesh))
     np.testing.assert_allclose(v_on, v_off, rtol=2e-6)
+
+
+@pytest.mark.parametrize("split,phase", [("up", 0), ("down", 0),
+                                         ("zigzag", 0), ("zigzag", 1)])
+def test_structured_domain_slab_matches(split, phase):
+    """structured_domain_slab == StructuredGridP1's XLA stencil, holes
+    and zigzag parity included (interpret mode)."""
+    import dataclasses
+    from hidenn_fem_tpu.models.structured_grid import (
+        StructuredGridP1, generate_structured_grid)
+    from hidenn_fem_tpu.ops.lattice_slab import structured_domain_slab
+
+    grid = generate_structured_grid(nx=33, ny=17,
+                                    holes=((1.0, 0.5, 0.25),),
+                                    split=split)
+    grid = dataclasses.replace(grid, zigzag_phase=phase)
+    model = StructuredGridP1(E=10e9, nu=0.3)
+    params = model.init(jax.random.PRNGKey(0), grid)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    node = model._node(params, grid)
+
+    def ref(n):
+        return model._domain_from_node(n, grid)
+
+    def new(n):
+        return structured_domain_slab(n, grid.quad_mask, grid.split,
+                                      grid.zigzag_phase, model.E,
+                                      model.nu, interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(ref)(node)
+    v_new, g_new = jax.value_and_grad(new)(node)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=2e-6)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-30
+    np.testing.assert_allclose(np.asarray(g_new) / scale,
+                               np.asarray(g_ref) / scale, atol=2e-6)
