@@ -165,3 +165,28 @@ def test_structured_domain_slab_matches(split, phase):
     scale = float(jnp.max(jnp.abs(g_ref))) + 1e-30
     np.testing.assert_allclose(np.asarray(g_new) / scale,
                                np.asarray(g_ref) / scale, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_slab_route_lbfgs_solve_matches():
+    """A plate L-BFGS solve through the slab kernel (interpret) reaches
+    the XLA lattice route's plateau.  (Step-by-step trajectories are
+    NOT comparable in f32: the kernel reassociates sums, and L-BFGS
+    amplifies 1e-7-level differences chaotically — same reason the
+    baseline-parity tests compare plateaus, not iterates.)"""
+    mesh = generate_mesh(nx=17, ny=9, holes=(), variant="up")
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+
+    def run(backend):
+        energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3,
+                                      backend=backend)
+        sol, losses = ht.minimize(
+            lambda p, m: energy(p, m), params, method="lbfgs",
+            num_steps=150, loss_args=(mesh,))
+        return np.asarray(losses)
+
+    l_xla = run("xla")
+    l_slab = run("pallas_interpret")
+    scale = max(abs(float(l_xla[-1])), 1e-30)
+    assert abs(float(l_slab[-1]) - float(l_xla[-1])) / scale < 1e-3
