@@ -25,7 +25,10 @@ def _perturbed_params(model, mesh):
 
 
 @pytest.mark.parametrize("variant", ["up", "down", "zigzag"])
-@pytest.mark.parametrize("nx,ny", [(17, 9), (81, 41), (33, 65)])
+@pytest.mark.parametrize("nx,ny", [(17, 9), (81, 41), (33, 65),
+                                   (300, 20)])  # 300 rows: 3 grid
+# instances — exercises the window halos, quad-row ownership seams and
+# the double-buffer slot alternation (everything below is one block)
 def test_slab_matches_xla_route(variant, nx, ny):
     mesh = generate_mesh(nx=nx, ny=ny, holes=(), variant=variant)
     route = mesh.lattice
