@@ -231,7 +231,8 @@ def _fwd_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
 
 
 def _pack(node, nx, ny, nb, bi):
-    """[N, 4] node table -> channel-major padded slab [4, nb*bi+2, ny].
+    """[N, 4] node table -> channel-major padded slab
+    [4, nb*bi+8, ceil128(ny)].
 
     One zero row above (so every window DMA is in-bounds) and enough
     below to complete the last block's 8-aligned window (rows
