@@ -60,6 +60,11 @@ _BI = 128          # owned node rows per grid instance
 _EPS_DET = 1e-12
 
 
+def mc_args(mc: int) -> int:
+    """Input slots used by the route-mask slab (0 or 1)."""
+    return 1 if mc else 0
+
+
 def slab_supported(route, dtype) -> bool:
     """True when the slab kernel covers this route (module doc)."""
     return (route is not None and route.identity
@@ -131,24 +136,27 @@ def _window_energies(chans, route_masks, sel_up, all_present, f, nu,
     return route_masks[idx] * e1 + route_masks[idx + 1] * e2
 
 
-def _masks(i, bi, shape, nx, ny):
+def _masks(i, bi, shape, nx, ny, row0):
     """(valid, owned) quad masks [nquads, nlanes] for grid instance i.
 
     Window local quad row q covers padded rows (q, q+1) = global node
-    rows (i*bi - 1 + q, i*bi + q); valid iff both rows are real AND the
-    quad column c <= ny-2 (lanes are 128-padded with zeros; the mask
-    also kills the roll-wrapped last row/column).  Owned rows q < bi
-    give the disjoint global partition [i*bi-1, i*bi+bi-1).
+    rows (row0 + i*bi - 1 + q, row0 + i*bi + q); valid iff both rows
+    are real AND the quad column c <= ny-2 (lanes are 128-padded with
+    zeros; the mask also kills the roll-wrapped last row/column).
+    Owned rows q < bi give the disjoint partition
+    [row0 + i*bi - 1, row0 + i*bi + bi - 1) — across instances AND
+    across shard_map devices (each device's row0 continues the
+    previous one's owned range).
     """
     q = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    qg = i * bi - 1 + q
+    qg = row0 + i * bi - 1 + q
     valid = (qg >= 0) & (qg <= nx - 2) & (c <= ny - 2)
     owned = valid & (q < bi)
     return valid, owned
 
 
-def _read_window(refs, i, bi, mc, nb):
+def _read_window(refs, i, bi, mc, nb, row0):
     """Double-buffered window reads: instance i kicks off instance
     i+1's window DMAs before waiting on its own (started by i-1, or by
     itself at i == 0), so the HBM reads overlap the previous window's
@@ -162,11 +170,11 @@ def _read_window(refs, i, bi, mc, nb):
 
     def dmas(j, slot):
         d = [pltpu.make_async_copy(
-            slab_hbm.at[:, pl.ds(j * bi, bi + 8), :],
+            slab_hbm.at[:, pl.ds(row0 + j * bi, bi + 8), :],
             w2.at[slot], sem.at[slot])]
         if mc:
             d.append(pltpu.make_async_copy(
-                mask_hbm.at[:, pl.ds(j * bi, bi + 8), :],
+                mask_hbm.at[:, pl.ds(row0 + j * bi, bi + 8), :],
                 mw2.at[slot], msem.at[slot]))
         return d
 
@@ -189,17 +197,19 @@ def _read_window(refs, i, bi, mc, nb):
 
 
 def _vg_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
-               mc):
+               mc, r0):
     i = pl.program_id(0)
-    e_ref, g_ref = (refs[2], refs[3]) if mc else (refs[1], refs[2])
+    k = 1 + mc_args(mc) + (1 if r0 else 0)
+    e_ref, g_ref = refs[k], refs[k + 1]
+    row0 = refs[1 + mc_args(mc)][0, 0] if r0 else 0
 
     @pl.when(i == 0)
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
     chans, route_masks = _read_window(refs, i, bi, mc,
-                                      pl.num_programs(0))
-    valid, owned = _masks(i, bi, chans[0].shape, nx, ny)
+                                      pl.num_programs(0), row0)
+    valid, owned = _masks(i, bi, chans[0].shape, nx, ny, row0)
 
     def masked(chans):
         e = _window_energies(chans, route_masks, sel_up, all_present,
@@ -214,25 +224,26 @@ def _vg_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
 
 
 def _fwd_kernel(*refs, f, nu, w_sum, nx, ny, bi, sel_up, all_present,
-                mc):
+                mc, r0):
     i = pl.program_id(0)
-    e_ref = refs[2] if mc else refs[1]
+    e_ref = refs[1 + mc_args(mc) + (1 if r0 else 0)]
+    row0 = refs[1 + mc_args(mc)][0, 0] if r0 else 0
 
     @pl.when(i == 0)
     def _():
         e_ref[0, 0] = jnp.zeros((), e_ref.dtype)
 
     chans, route_masks = _read_window(refs, i, bi, mc,
-                                      pl.num_programs(0))
-    _, owned = _masks(i, bi, chans[0].shape, nx, ny)
+                                      pl.num_programs(0), row0)
+    _, owned = _masks(i, bi, chans[0].shape, nx, ny, row0)
     e = _window_energies(chans, route_masks, sel_up, all_present, f,
                          nu, w_sum)
     e_ref[0, 0] += jnp.sum(jnp.where(owned, e, 0.0))
 
 
-def _pack(node, nx, ny, nb, bi):
+def _pack(node, nx, ny, nb, bi, rows=None):
     """[N, 4] node table -> channel-major padded slab
-    [4, nb*bi+8, ceil128(ny)].
+    [4, max(nb*bi, rows)+8, ceil128(ny)].
 
     One zero row above (so every window DMA is in-bounds) and enough
     below to complete the last block's 8-aligned window (rows
@@ -243,7 +254,8 @@ def _pack(node, nx, ny, nb, bi):
     """
     slab = node.T.reshape(4, nx, ny)
     nyp = -(-ny // 128) * 128
-    return jnp.pad(slab, ((0, 0), (1, nb * bi + 7 - nx),
+    rows = max(nb * bi, rows or 0)
+    return jnp.pad(slab, ((0, 0), (1, rows + 7 - nx),
                           (0, nyp - ny)))
 
 
@@ -253,11 +265,12 @@ def _grid(nx):
     return nb, bi
 
 
-def _pack_masks(route, sel_up, all_present, nb, bi, nyp, dtype):
+def _pack_masks(route, sel_up, all_present, nb, bi, nyp, dtype,
+                rows=None):
     """Needed route-mask channels (sel?, t1?, t2?) as a padded
-    [mc, nb*bi+8, nyp] slab whose row p holds global quad row p-1 —
-    aligned with the node windows, zero on every pad (t = 0 kills pad
-    quads; pad sel rows are already row-masked)."""
+    [mc, max(nb*bi, rows)+8, nyp] slab whose row p holds global quad
+    row p-1 — aligned with the node windows, zero on every pad (t = 0
+    kills pad quads; pad sel rows are already row-masked)."""
     chans = []
     if sel_up is None:
         chans.append(route.sel)
@@ -267,11 +280,12 @@ def _pack_masks(route, sel_up, all_present, nb, bi, nyp, dtype):
         return None
     m = jnp.stack([jnp.asarray(c, dtype) for c in chans])
     nxm, nym = m.shape[1], m.shape[2]
-    return jnp.pad(m, ((0, 0), (1, nb * bi + 7 - nxm),
+    rows = max(nb * bi, rows or 0)
+    return jnp.pad(m, ((0, 0), (1, rows + 7 - nxm),
                        (0, nyp - nym)))
 
 
-def _specs(slab, masks, nx, ny, nb, bi, vg):
+def _specs(slab, masks, nx, ny, nb, bi, vg, row0=None):
     nyp = slab.shape[2]
     mc = 0 if masks is None else masks.shape[0]
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
@@ -279,6 +293,10 @@ def _specs(slab, masks, nx, ny, nb, bi, vg):
     if mc:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         operands.append(masks)
+    if row0 is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(row0.reshape(1, 1).astype(jnp.int32))
     scalar = (pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM),
               jax.ShapeDtypeStruct((1, 1), slab.dtype))
@@ -301,13 +319,14 @@ def _specs(slab, masks, nx, ny, nb, bi, vg):
 
 
 def _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum, sel_up,
-               all_present, interpret):
+               all_present, interpret, row0=None):
     in_specs, operands, out_specs, out_shape, scratch, mc = _specs(
-        slab, masks, nx, ny, nb, bi, vg=True)
+        slab, masks, nx, ny, nb, bi, vg=True, row0=row0)
     e, g = pl.pallas_call(
         functools.partial(_vg_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
                           ny=ny, bi=bi, sel_up=sel_up,
-                          all_present=all_present, mc=mc),
+                          all_present=all_present, mc=mc,
+                          r0=row0 is not None),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -319,13 +338,14 @@ def _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum, sel_up,
 
 
 def _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum, sel_up,
-                all_present, interpret):
+                all_present, interpret, row0=None):
     in_specs, operands, out_specs, out_shape, scratch, mc = _specs(
-        slab, masks, nx, ny, nb, bi, vg=False)
+        slab, masks, nx, ny, nb, bi, vg=False, row0=row0)
     e = pl.pallas_call(
         functools.partial(_fwd_kernel, f=f, nu=nu, w_sum=w_sum, nx=nx,
                           ny=ny, bi=bi, sel_up=sel_up,
-                          all_present=all_present, mc=mc),
+                          all_present=all_present, mc=mc,
+                          r0=row0 is not None),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
