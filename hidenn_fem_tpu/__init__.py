@@ -30,5 +30,6 @@ from .solve.multigrid import mg_pcg_solve, build_hierarchy, \
     radapt_mg_solve
 from .solve.auxspace import aux_pcg_solve, build_aux_preconditioner, \
     radapt_aux_solve
+from .solve.nodespace import lbfgs_node_space
 
 __version__ = "0.1.0"

@@ -442,8 +442,36 @@ class PlaneStressEnergy:
                 or self.body_force is not None or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
-        from .lattice_energy import lattice_total
         node = self.model.packed_nodes(params, mesh)
+        return self._lattice_total_node(node, mesh)
+
+    def total_from_nodes(self, node, mesh: TriMesh) -> jax.Array:
+        """Energy as a function of the packed [N, 4] node table (BC
+        values already baked in) — the node-space solve entry
+        (``solve/nodespace.py``): optimizers that iterate on the node
+        table directly skip the per-step Dirichlet selects + concat of
+        ``packed_nodes`` and the matching backward unpack.
+
+        Lattice-routable configurations only (where those passes are a
+        measurable share of the step); other assemblies raise."""
+        if self.mesh_penalty_weight:
+            raise ValueError("node-space energy does not carry the "
+                             "mesh-quality penalty (it needs params)")
+        e = self._lattice_total_node(node, mesh)
+        if e is None:
+            raise ValueError("total_from_nodes requires a lattice-"
+                             "routable configuration (lattice mesh, "
+                             "fused assembly, exact compat, default "
+                             "traction, no body force)")
+        return e
+
+    def _lattice_total_node(self, node, mesh: TriMesh):
+        if (mesh.lattice is None or self.assembly != "fused"
+                or self.compat != "exact" or self.traction is not None
+                or self.body_force is not None or self.model.dim_u != 2
+                or getattr(self.model, "compat", "exact") != "exact"):
+            return None
+        from .lattice_energy import lattice_total
         w_sum = quad.triangle_weight_sum(self.gauss_order)
         t_x = self.F_total / self.traction_length
         backend = self._resolve_backend()
