@@ -28,8 +28,11 @@ def measure(mesh, tag):
     params = model.init(jax.random.PRNGKey(0), mesh)
     for label, env in [("xla-route", "0"), ("slab-kern", "1")]:
         os.environ.pop("HDNN_LATTICE_SLAB", None)
+        os.environ.pop("HDNN_NO_SLAB", None)
         if env == "1":
             os.environ["HDNN_LATTICE_SLAB"] = "1"
+        else:
+            os.environ["HDNN_NO_SLAB"] = "1"   # robust to a default flip
         energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
         v = float(energy(params, mesh))
 
@@ -90,8 +93,11 @@ def structured_ab():
     params = model.init(jax.random.PRNGKey(0), grid)
     for label, env in [("xla", None), ("slab", "1")]:
         os.environ.pop("HDNN_LATTICE_SLAB", None)
+        os.environ.pop("HDNN_NO_SLAB", None)
         if env:
             os.environ["HDNN_LATTICE_SLAB"] = "1"
+        else:
+            os.environ["HDNN_NO_SLAB"] = "1"
 
         def step(p, grid):
             val, g = jax.value_and_grad(
