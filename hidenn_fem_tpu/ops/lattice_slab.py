@@ -42,6 +42,21 @@ Pallas kernels are f32).
 Matches the reference hot path ``/root/reference/src/loss.py:55-116``;
 numerics equality-tested against ``lattice_energy.lattice_total`` in
 ``tests/test_lattice_slab.py``.
+
+On-chip A/B (round 3, tools/microbench_slab.py, v5e): **negative** —
+the XLA route wins or ties every leg despite its extra
+materialization passes.  vg us/step XLA vs slab: 922K-plain
+159.5/172.8, 922K-holes-dead 165.5/187.1, 58K-zigzag 8.5/12.6,
+6.4K 6.3/6.2 (tie), structured-922K 74.9/78.9; value-only legs lose
+by similar margins.  Both routes sit ~15x above the HBM read floor,
+i.e. the step is VPU-compute-bound on the stencil math, which the
+kernel re-does identically — removing the materialized passes buys
+nothing, and the manual window DMA pipeline underlaps XLA's.  The
+kernel therefore stays OPT-IN (HDNN_LATTICE_SLAB=1) as a tested
+negative; interpret-mode equality keeps covering the numerics.  The
+922K grad output is XLA-placed in scoped vmem (S(1)), so masked
+variants need the halved block rows in ``_grid`` to fit the 16M
+scoped-vmem limit.
 """
 
 from __future__ import annotations
@@ -259,8 +274,14 @@ def _pack(node, nx, ny, nb, bi, rows=None):
                           (0, nyp - ny)))
 
 
-def _grid(nx):
-    bi = min(_BI, max(8, -(-nx // 8) * 8))
+def _grid(nx, mc=0):
+    # Mask channels add 2*mc*(bi+8)*nyp*4B of double-buffered window
+    # scratch on top of a budget the plain kernel already nearly fills
+    # (XLA places the full grad output in scoped vmem, S(1)); halving
+    # bi when mc > 0 keeps the 922K holes/zigzag variants under the
+    # 16M scoped-vmem limit (measured: bi=128 + mc=2 OOMs by 1.36M).
+    cap = _BI if mc == 0 else _BI // 2
+    bi = min(cap, max(8, -(-nx // 8) * 8))
     nb = -(-nx // bi)
     return nb, bi
 
@@ -362,7 +383,7 @@ def _domain_slab(node, masks, nx, ny, E, nu, w_sum, opts):
     kernel.  ``masks`` is the padded route-mask slab (or None);
     ``opts = (sel_up, all_present, interpret)`` static."""
     sel_up, all_present, interpret = opts
-    nb, bi = _grid(nx)
+    nb, bi = _grid(nx, 0 if masks is None else masks.shape[0])
     f = E / (1.0 - nu ** 2)
     slab = _pack(node, nx, ny, nb, bi)
     return _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
@@ -371,7 +392,7 @@ def _domain_slab(node, masks, nx, ny, E, nu, w_sum, opts):
 
 def _domain_slab_fwd(node, masks, nx, ny, E, nu, w_sum, opts):
     sel_up, all_present, interpret = opts
-    nb, bi = _grid(nx)
+    nb, bi = _grid(nx, 0 if masks is None else masks.shape[0])
     f = E / (1.0 - nu ** 2)
     slab = _pack(node, nx, ny, nb, bi)
     val, g = _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
@@ -429,7 +450,9 @@ def lattice_total_slab(node, route, E, nu, w_sum, t_x, t_y=0.0,
     Caller must check :func:`slab_supported` first.
     """
     sel_up = {"up": True, "down": False}.get(route.uniform_sel)
-    nb, bi = _grid(route.nx)
+    mc = ((1 if sel_up is None else 0)
+          + (0 if route.all_present else 2))
+    nb, bi = _grid(route.nx, mc)
     nyp = -(-route.ny // 128) * 128
     masks = _pack_masks(route, sel_up, route.all_present, nb, bi, nyp,
                         node.dtype)
@@ -445,7 +468,7 @@ def _domain_slab3(node3, masks, E, nu, w_sum, opts):
     (StructuredGridP1 layout).  ``opts = (sel_up, interpret)``."""
     sel_up, interpret = opts
     nx, ny = node3.shape[0], node3.shape[1]
-    nb, bi = _grid(nx)
+    nb, bi = _grid(nx, 0 if masks is None else masks.shape[0])
     f = E / (1.0 - nu ** 2)
     slab = _pack3(node3, nb, bi)
     return _pallas_fwd(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
@@ -462,7 +485,7 @@ def _pack3(node3, nb, bi):
 def _domain_slab3_fwd(node3, masks, E, nu, w_sum, opts):
     sel_up, interpret = opts
     nx, ny = node3.shape[0], node3.shape[1]
-    nb, bi = _grid(nx)
+    nb, bi = _grid(nx, 0 if masks is None else masks.shape[0])
     f = E / (1.0 - nu ** 2)
     slab = _pack3(node3, nb, bi)
     val, g = _pallas_vg(slab, masks, nx, ny, nb, bi, f, nu, w_sum,
@@ -492,9 +515,9 @@ def structured_domain_slab(node3, quad_mask, split, zigzag_phase, E,
     shard_map/GSPMD structured paths keep the XLA stencil).
     """
     nx, ny = node3.shape[0], node3.shape[1]
-    nb, bi = _grid(nx)
-    nyp = -(-ny // 128) * 128
     sel_up = {"up": True, "down": False}.get(split)
+    nb, bi = _grid(nx, (1 if sel_up is None else 0) + 2)
+    nyp = -(-ny // 128) * 128
     chans = []
     if sel_up is None:
         ii = jnp.arange(nx - 1)[:, None]

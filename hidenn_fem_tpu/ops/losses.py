@@ -476,12 +476,14 @@ class PlaneStressEnergy:
         t_x = self.F_total / self.traction_length
         backend = self._resolve_backend()
         if backend in ("pallas", "pallas_interpret"):
-            # single-pass slab kernel: one fused HBM pass per direction
-            # instead of the XLA route's ~3 materializations each way
-            # (ops/lattice_slab.py; measured numbers there).  Env
-            # HDNN_NO_SLAB opts out (mirrors HDNN_NO_NATIVE); hardware
-            # routing is opt-in (HDNN_LATTICE_SLAB=1) until the on-chip
-            # A/B lands — interpret mode is equality-proven and always on.
+            # single-pass slab kernel (ops/lattice_slab.py).  The
+            # on-chip A/B measured it SLOWER than the XLA route on
+            # every leg (the step is VPU-compute-bound, not
+            # materialization-bound — numbers in the kernel's module
+            # doc), so hardware routing stays opt-in
+            # (HDNN_LATTICE_SLAB=1) as a tested negative; HDNN_NO_SLAB
+            # opts out even of interpret mode, which is
+            # equality-proven and on by default.
             import os
             from .lattice_slab import lattice_total_slab, slab_supported
             if (slab_supported(mesh.lattice, node.dtype)

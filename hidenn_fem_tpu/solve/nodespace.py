@@ -26,6 +26,7 @@ packing, so they stay params-space.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -78,11 +79,19 @@ def lbfgs_node_space(energy, params, mesh, num_steps: int = 600,
     """
     node0 = energy.model.packed_nodes(params, mesh)
     mask = node_free_mask(energy.model, mesh)
+    node_sol, losses = run_lbfgs(_node_loss_for(energy), node0,
+                                 num_steps=num_steps, tol=tol,
+                                 loss_args=(mask, mesh), **kwargs)
+    return ({"coords": node_sol[:, :2], "u": node_sol[:, 2:]}, losses)
 
+
+@functools.lru_cache(maxsize=None)
+def _node_loss_for(energy):
+    """Memoized node-table loss adapter.  jit caches key on function
+    identity, so a per-call closure recompiles the whole solve every
+    call (~4 s at 6.4K through the remote compiler); one adapter per
+    (hashable) energy keeps repeat solves warm — same lesson as
+    ``linear.py:_u_loss_for``."""
     def loss(node, mask, mesh):
         return energy.total_from_nodes(grad_gate(node, mask), mesh)
-
-    node_sol, losses = run_lbfgs(loss, node0, num_steps=num_steps,
-                                 tol=tol, loss_args=(mask, mesh),
-                                 **kwargs)
-    return ({"coords": node_sol[:, :2], "u": node_sol[:, 2:]}, losses)
+    return loss

@@ -63,6 +63,9 @@ def solve_ab():
         if env and env.startswith("1"):
             os.environ["HDNN_LATTICE_SLAB"] = "1"
         energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+        # Stable loss identities only: a per-leg lambda would recompile
+        # the whole solve inside the timed region (the jit
+        # function-identity trap — CLAUDE.md).
         if env and env.endswith("node"):
             sol, losses = ht.lbfgs_node_space(energy, params, mesh,
                                               num_steps=600)
@@ -72,14 +75,12 @@ def solve_ab():
                                               num_steps=600)
             np.asarray(losses)
         else:
-            sol, losses = ht.minimize(
-                lambda p, m: energy(p, m), params, method="lbfgs",
-                num_steps=600, loss_args=(mesh,))
+            sol, losses = ht.run_lbfgs(energy.total, params,
+                                       num_steps=600, loss_args=(mesh,))
             np.asarray(losses)
             t0 = time.time()
-            sol, losses = ht.minimize(
-                lambda p, m: energy(p, m), params, method="lbfgs",
-                num_steps=600, loss_args=(mesh,))
+            sol, losses = ht.run_lbfgs(energy.total, params,
+                                       num_steps=600, loss_args=(mesh,))
             np.asarray(losses)
         print(f"plate-lbfgs600 {label}: warm {time.time()-t0:.3f}s "
               f"final {float(np.asarray(losses)[-1]):.6f}", flush=True)
