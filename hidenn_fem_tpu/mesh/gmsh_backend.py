@@ -50,8 +50,11 @@ def assemble_gmsh_mesh(node_tags, points, tri_tags, boundary_node_tags,
     node_tags = np.asarray(node_tags)
     points = np.asarray(points, dtype=np.float64)
     tri_tags = np.asarray(tri_tags, dtype=np.int64)
-    tag_to_idx = {int(t): i for i, t in enumerate(node_tags)}
-    if tri_tags.size:
+    if np.array_equal(node_tags, np.arange(len(node_tags))):
+        # identity tags (e.g. the Delaunay backend): skip the dict remap
+        cells = tri_tags
+    elif tri_tags.size:
+        tag_to_idx = {int(t): i for i, t in enumerate(node_tags)}
         remap = np.vectorize(tag_to_idx.__getitem__, otypes=[np.int64])
         cells = remap(tri_tags)
     else:

@@ -309,10 +309,10 @@ def _pack_masks(route, sel_up, all_present, nb, bi, nyp, dtype,
 def _specs(slab, masks, nx, ny, nb, bi, vg, row0=None):
     nyp = slab.shape[2]
     mc = 0 if masks is None else masks.shape[0]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     operands = [slab]
     if mc:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(masks)
     if row0 is not None:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),

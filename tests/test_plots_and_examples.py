@@ -75,6 +75,13 @@ def test_example4_small(outdir):
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_example11_small(outdir):
+    from examples import example11_delaunay
+    e = example11_delaunay.main(lc=0.15, outdir=outdir)
+    assert np.isfinite(e) and e < 0      # traction does work
+    assert os.path.getsize(f"{outdir}/ex11_von_mises.png") > 0
+
+
 def test_float64_energy_path():
     """f64 opt-in: model dtype + x64 mesh arrays run the XLA backend."""
     jax.config.update("jax_enable_x64", True)
