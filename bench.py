@@ -88,6 +88,29 @@ def bench_6k(ht, slope_time_scan, lattice=True):
     return n_qp / dt
 
 
+def bench_delaunay_6k(ht, slope_time_scan):
+    """Genuinely irregular mesh row: a native-Delaunay plate with the
+    example-4 three holes at ~6.1K elements (mesh/delaunay.py; lattice
+    detection rejects it, so this is the exact path a real gmsh user
+    hits — gather-based assembly end to end).  Measured r3: 107.9
+    µs/step fwd+bwd, confirming the lattice-disabled proxy row above on
+    real geometry."""
+    mesh = ht.generate_mesh_delaunay(
+        holes=((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
+        lc=0.0262)
+    assert mesh.lattice is None
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def step(p, m):
+        val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
+        p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
+        return p, val
+
+    return slope_time_scan(step, params, n1=50, n2=550, args=(mesh,))
+
+
 def bench_922k_banded(ht, slope_time_scan):
     import dataclasses
     mesh = ht.proxy_plate_mesh(nx=961, ny=481)     # 921,600 elements
@@ -274,6 +297,12 @@ def main():
             f"{qp_unstr / BASELINE_QP_PER_S:.4g}")
     except Exception as e:
         extra["unstructured_6k_error"] = repr(e)[:200]
+    try:
+        dt_del = bench_delaunay_6k(ht, slope_time_scan)
+        extra["delaunay_6k_us_per_step_fwd_bwd"] = float(
+            f"{dt_del * 1e6:.4g}")
+    except Exception as e:
+        extra["delaunay_6k_error"] = repr(e)[:200]
     try:
         dt_lh = bench_922k_lattice_holes(ht, slope_time_scan)
         extra["lattice_922k_holes_ms_per_step_fwd_bwd"] = float(

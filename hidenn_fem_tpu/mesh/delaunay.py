@@ -236,23 +236,13 @@ def generate_mesh_delaunay(
         n_bnd = int(used[:n_bnd].sum())
     bnd_idx = np.arange(n_bnd)
 
-    if reorder:
-        from .banded import rcm_node_order
-        perm = rcm_node_order(cells, len(points))
-        inv = np.empty(len(points), dtype=np.int64)
-        inv[perm] = np.arange(len(points))
-        points = points[perm]
-        cells = inv[cells]
-        cells = cells[np.argsort(cells.min(axis=1), kind="stable")]
-        bnd_idx = np.sort(inv[bnd_idx])
-
     return assemble_gmsh_mesh(
         node_tags=np.arange(len(points)),
         points=points,
         tri_tags=cells,
         boundary_node_tags=bnd_idx,
         holes=holes, boundaries=boundaries,
-        length=length, height=height)
+        length=length, height=height, reorder=reorder)
 
 
 def generate_mesh_unstructured(*args, **kwargs) -> TriMesh:

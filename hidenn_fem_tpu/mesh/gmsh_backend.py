@@ -33,7 +33,8 @@ def have_gmsh() -> bool:
 
 
 def assemble_gmsh_mesh(node_tags, points, tri_tags, boundary_node_tags,
-                       holes, boundaries, length, height) -> TriMesh:
+                       holes, boundaries, length, height,
+                       reorder: bool = False) -> TriMesh:
     """Pure post-gmsh assembly (no gmsh API): tag remap, geometric
     boundary + radial hole safety net, coordinate-tolerance BC masks,
     Neumann-edge extraction (``/root/reference/src/mesh.py:48-153``
@@ -46,6 +47,13 @@ def assemble_gmsh_mesh(node_tags, points, tri_tags, boundary_node_tags,
       tri_tags: [Ne, 3] triangle connectivity IN TAGS.
       boundary_node_tags: set/array of tags on boundary curves/points.
       holes / boundaries / length / height: the generator's arguments.
+      reorder: apply the bandwidth-reducing RCM node permutation +
+        min-node element sort before building the device tables.
+        Generator front-ends default this ON: raw mesher node order
+        scatters each element block's node window across the whole
+        table and defeats the blocked-window assembly (measured 47.9
+        vs 18.3 ms/step at ~900K elements on v5e).  Default False here
+        so the pure assembly preserves tag order for unit tests.
     """
     node_tags = np.asarray(node_tags)
     points = np.asarray(points, dtype=np.float64)
@@ -78,6 +86,18 @@ def assemble_gmsh_mesh(node_tags, points, tri_tags, boundary_node_tags,
         elif condition == 2:
             mn_mask |= m
 
+    if reorder and cells.size:
+        from .banded import rcm_node_order
+        perm = rcm_node_order(cells, len(points))
+        inv = np.empty(len(points), dtype=np.int64)
+        inv[perm] = np.arange(len(points))
+        points = points[perm]
+        geom_boundary = geom_boundary[perm]
+        bc_mask = bc_mask[perm]
+        mn_mask = mn_mask[perm]
+        cells = inv[cells]
+        cells = cells[np.argsort(cells.min(axis=1), kind="stable")]
+
     uedges = unique_edges(cells)
     neumann_edges = uedges[np.all(mn_mask[uedges], axis=1)]
 
@@ -98,12 +118,19 @@ def generate_mesh_gmsh(
         (0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
     boundaries: Dict[str, int] = None,
     lc: float = 1e-1,
+    reorder: bool = True,
 ) -> TriMesh:
     """Rectangle-with-holes unstructured mesh via gmsh OCC boolean cut.
 
     Mirrors ``src/mesh.py:8-153`` (same arguments and defaults).  Raises
     ImportError with a pointer to the structured fallback when gmsh is not
     installed.
+
+    ``reorder`` (default True) applies the RCM bandwidth-reducing node
+    permutation before the device tables are built — raw gmsh node
+    order defeats the blocked-window assembly (2.6x slower steps at
+    ~900K elements; see ``assemble_gmsh_mesh``).  Node/element indexing
+    then differs from raw gmsh output; disable for tag-order fidelity.
     """
     try:
         import gmsh
@@ -156,4 +183,4 @@ def generate_mesh_gmsh(
 
     return assemble_gmsh_mesh(node_tags, points, tri_tags,
                               boundary_node_tags, holes, boundaries,
-                              length, height)
+                              length, height, reorder=reorder)

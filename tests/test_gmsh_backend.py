@@ -181,22 +181,39 @@ def test_generate_mesh_gmsh_end_to_end_with_fake(fake_gmsh):
     points, cells, tags, tri_tags = _toy_mesh()
     assert mesh.n_elements == cells.shape[0]
     assert mesh.n_nodes == points.shape[0]
-    # BC masks follow the face logic on the REMAPPED coordinates
+    # default reorder=True applies RCM, so masks must be checked against
+    # the mesh's OWN (permuted) coordinates, not raw tag order
+    mc = np.asarray(mesh.coords)
     np.testing.assert_array_equal(
-        np.asarray(mesh.dirichlet_mask),
-        np.abs(points[:, 0]) < 1e-9)
+        np.asarray(mesh.dirichlet_mask), np.abs(mc[:, 0]) < 1e-6)
     assert mesh.n_neumann_edges == 4
     # boundary-curve walk marked all four faces geometric
-    on_face = ((np.abs(points[:, 0]) < 1e-9)
-               | (np.abs(points[:, 0] - 2.0) < 1e-9)
-               | (np.abs(points[:, 1]) < 1e-9)
-               | (np.abs(points[:, 1] - 1.0) < 1e-9))
+    on_face = ((np.abs(mc[:, 0]) < 1e-6)
+               | (np.abs(mc[:, 0] - 2.0) < 1e-6)
+               | (np.abs(mc[:, 1]) < 1e-6)
+               | (np.abs(mc[:, 1] - 1.0) < 1e-6))
     np.testing.assert_array_equal(np.asarray(mesh.geom_boundary_mask),
                                   on_face)
-    # lifecycle: initialize before finalize, finalize exactly once
+    # triangles as coordinate triples survive the permutation
+    got = np.sort(mc[np.asarray(mesh.connectivity)].reshape(-1, 6), axis=0)
+    want = np.sort(points[cells].reshape(-1, 6).astype(np.float32), axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # RCM actually tightened the bandwidth vs the shuffled tag order
+    conn = np.asarray(mesh.connectivity)
+    bw = (conn.max(axis=1) - conn.min(axis=1)).max()
+    raw = generate_mesh_gmsh(length=2.0, height=1.0, holes=(),
+                             boundaries={"up": 0, "down": 0,
+                                         "right": 2, "left": 1},
+                             lc=0.25, reorder=False)
+    rconn = np.asarray(raw.connectivity)
+    raw_bw = (rconn.max(axis=1) - rconn.min(axis=1)).max()
+    assert bw < raw_bw
+    np.testing.assert_array_equal(
+        np.asarray(raw.dirichlet_mask), np.abs(points[:, 0]) < 1e-9)
+    # lifecycle: initialize before finalize, one finalize per generate
     names = [c[0] for c in fake_gmsh.calls]
     assert names.index("initialize") < names.index("finalize")
-    assert names.count("finalize") == 1
+    assert names.count("finalize") == names.count("initialize") == 2
 
 
 def test_generate_mesh_gmsh_energy_matches_structured(fake_gmsh):
