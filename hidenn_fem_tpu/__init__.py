@@ -14,6 +14,7 @@ from .mesh.structured import generate_mesh, rectangle_tri_zigzag, \
 from .mesh.gmsh_backend import generate_mesh_gmsh, have_gmsh
 from .mesh.delaunay import (generate_mesh_delaunay,
                             generate_mesh_unstructured)
+from .mesh.hybrid import generate_mesh_hybrid
 from .models.linear1d import Linear1D
 from .models.bilinear2d import Bilinear2D
 from .models.triangle_p1 import TriangleP1

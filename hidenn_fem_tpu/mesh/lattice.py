@@ -57,6 +57,11 @@ class LatticeRoute:
       identity: True when the node numbering IS the lattice numbering
         (no deleted nodes, lexicographic order) — the fill collapses to
         a reshape and the route does ZERO gathers (static).
+      prefix_identity: True when the FIRST nx*ny nodes are the lattice
+        in lexicographic order and further (non-lattice) nodes follow —
+        hybrid meshes (``mesh/hybrid.py``) append hole-rim/collar nodes
+        after the lattice block.  The fill is then a slice (backward: a
+        zero-pad), still zero gathers (static).
       uniform_sel: "up"/"down" when EVERY quad splits along the same
         diagonal (static), else "".  Lets the energy pick the triangle
         family at trace time instead of computing both and selecting —
@@ -87,6 +92,8 @@ class LatticeRoute:
     ny: int = dataclasses.field(metadata=dict(static=True), default=0)
     identity: bool = dataclasses.field(metadata=dict(static=True),
                                        default=False)
+    prefix_identity: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=False)
     fw_width: int = dataclasses.field(metadata=dict(static=True),
                                       default=0)
     bw_width: int = dataclasses.field(metadata=dict(static=True),

@@ -98,6 +98,12 @@ class TriMesh:
     # genuinely unstructured (gmsh-style) meshes and for element-sharded
     # copies (the sharded paths own their distribution).
     lattice: Optional[object] = None
+    # Optional hybrid lattice+collar route (mesh/hybrid.py): a lattice
+    # covering the node-table prefix plus a small irregular element set
+    # (hole collars).  Attached by generate_mesh_hybrid — detection
+    # can't find it (rim nodes are off-lattice); the energy evaluates
+    # the lattice part from slices and only the collar by gather.
+    hybrid: Optional[object] = None
 
     @property
     def n_nodes(self) -> int:
@@ -116,7 +122,7 @@ class TriMesh:
                     dirichlet_mask=None, neumann_mask=None,
                     neumann_edges=None, dtype=jnp.float32,
                     build_incidence=True, build_banded="auto",
-                    build_lattice=True) -> "TriMesh":
+                    build_lattice=True, build_fused=True) -> "TriMesh":
         """Normalize host arrays into a device-ready TriMesh.
 
         build_banded: "auto" builds blocked-window assembly tables when
@@ -157,7 +163,8 @@ class TriMesh:
                                      edges_np)
 
         fused_conn = fused_inc = None
-        if build_incidence and conn_np.size and edges_np.size:
+        if build_fused and build_incidence and conn_np.size \
+                and edges_np.size:
             edge_tri = np.concatenate(
                 [edges_np, edges_np[:, 1:2]], axis=1)     # (n0, n1, n1)
             fused_conn = np.concatenate(

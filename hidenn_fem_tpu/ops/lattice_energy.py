@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lattice_total", "lattice_domain_energy"]
+__all__ = ["lattice_total", "lattice_domain_energy",
+           "extra_elements_energy"]
 
 
 @jax.custom_vjp
@@ -133,6 +134,10 @@ def _lat(node: jax.Array, route) -> jax.Array:
     the slab split only added materialized transposes."""
     if route.identity:
         full = node
+    elif route.prefix_identity:
+        # hybrid meshes: the lattice block is the node-table prefix —
+        # the fill is a slice, its backward a zero-pad (both ~free)
+        full = node[:route.nx * route.ny]
     elif route.fw_rel is not None:
         full = _perm_fill_win(route.fw_width, route.bw_width, node,
                               route.fw_rel, route.fw_starts,
@@ -178,6 +183,20 @@ def _domain_from_lat(lat, route, E: float, nu: float,
     if route.all_present:       # no hole-dropped triangles: masks drop
         return w_sum * (jnp.sum(e1) + jnp.sum(e2))
     return w_sum * jnp.sum(route.t1 * e1 + route.t2 * e2)
+
+
+def extra_elements_energy(node: jax.Array, conn: jax.Array, E: float,
+                          nu: float, w_sum: float) -> jax.Array:
+    """Elastic strain energy of a small irregular element set gathered
+    from the [N, 4] node table — the collar term of hybrid meshes
+    (``mesh/hybrid.py``): K is O(hole-rim length), a few thousand rows,
+    well below the gather-rate cliff, so a plain connectivity gather
+    with scatter-add AD backward is the right shape here (the blocked
+    machinery only pays at >250K rows)."""
+    f = E / (1.0 - nu ** 2)
+    g = node[conn]                               # [K, 3, 4]
+    e = _tri_energy(g[:, 0, :], g[:, 1, :], g[:, 2, :], f, nu)
+    return w_sum * jnp.sum(e)
 
 
 def lattice_total(node: jax.Array, route, E: float, nu: float,

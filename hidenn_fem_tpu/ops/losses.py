@@ -465,6 +465,33 @@ class PlaneStressEnergy:
                              "traction, no body force)")
         return e
 
+    def _hybrid_total(self, params, mesh: TriMesh):
+        """Slice+gather route for hybrid lattice+collar meshes (or None).
+
+        ``mesh.hybrid`` (``mesh/hybrid.py``) splits the element set into
+        a node-table-prefix lattice (energy + face traction from slices,
+        zero gathers) and a small collar of irregular triangles around
+        the hole rims (one O(rim) gather).  Same numerics as the fused
+        path up to reassociation — equality-tested value + both gradient
+        groups in tests/test_hybrid.py."""
+        if (mesh.hybrid is None or self.assembly != "fused"
+                or self.compat != "exact" or self.traction is not None
+                or self.body_force is not None or self.model.dim_u != 2
+                or getattr(self.model, "compat", "exact") != "exact"):
+            return None
+        from .lattice_energy import lattice_total, extra_elements_energy
+        hy = mesh.hybrid
+        node = self.model.packed_nodes(params, mesh)
+        w_sum = quad.triangle_weight_sum(self.gauss_order)
+        t_x = self.F_total / self.traction_length
+        e = lattice_total(node, hy.lattice, float(self.E), float(self.nu),
+                          w_sum, float(t_x))
+        if hy.extra_conn.shape[0]:
+            e = e + extra_elements_energy(node, hy.extra_conn,
+                                          float(self.E), float(self.nu),
+                                          w_sum)
+        return e
+
     def _lattice_total_node(self, node, mesh: TriMesh):
         if (mesh.lattice is None or self.assembly != "fused"
                 or self.compat != "exact" or self.traction is not None
@@ -501,6 +528,8 @@ class PlaneStressEnergy:
         """Total potential = domain - edge (``src/loss.py:113-116``),
         plus the optional mesh-quality regularization."""
         e = self._lattice_total(params, mesh)
+        if e is None:
+            e = self._hybrid_total(params, mesh)
         if e is None:
             e = self._fused_total(params, mesh)
         if e is None:

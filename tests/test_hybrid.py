@@ -1,0 +1,163 @@
+"""Hybrid lattice+collar meshes (mesh/hybrid.py): generation
+invariants, route equality against the generic assembly, and solve
+behavior.  The hybrid route must be *numerically invisible*: same
+energy and both gradient groups as evaluating the full connectivity
+through the generic gather path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidenn_fem_tpu.mesh import generate_mesh_hybrid
+from hidenn_fem_tpu.mesh.hybrid import _shoelace, _walk_circle, _lc_fn
+from hidenn_fem_tpu.models.triangle_p1 import TriangleP1
+from hidenn_fem_tpu.ops.losses import PlaneStressEnergy
+
+HOLES = ((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1))
+
+
+def _mesh(lc=0.05, variant="up", holes=HOLES):
+    return generate_mesh_hybrid(lc=lc, variant=variant, holes=holes)
+
+
+def _loss(mesh, **kw):
+    model = TriangleP1()
+    return model, PlaneStressEnergy(model=model, backend="xla", **kw)
+
+
+# --------------------------------------------------------- generation
+def test_route_attached_and_shapes():
+    mesh = _mesh()
+    hy = mesh.hybrid
+    assert hy is not None
+    assert hy.lattice.prefix_identity and not hy.lattice.identity
+    nx, ny = hy.lattice.nx, hy.lattice.ny
+    assert mesh.n_nodes > nx * ny            # rim points appended
+    assert hy.extra_conn.shape[0] > 0
+    # collar triangles only reference staircase/rim nodes, never dead
+    used = np.zeros(mesh.n_nodes, bool)
+    used[np.asarray(mesh.connectivity)] = True
+    assert used[np.asarray(hy.extra_conn)].all()
+
+
+def test_all_detj_positive_and_area_conserved():
+    mesh = _mesh()
+    model, _ = _loss(mesh)
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    det, _ = model.element_fields(params, mesh)
+    det = np.asarray(det)
+    assert (det > 0).all()
+    area = 0.5 * det.sum()
+    lcf = _lc_fn(0.05)
+    rim = sum(abs(_shoelace(_walk_circle(cx, cy, r, lcf)))
+              for cx, cy, r in HOLES)
+    assert np.isclose(area, 2.0 * 1.0 - rim, rtol=1e-5)
+
+
+def test_masks_and_edges():
+    mesh = _mesh()
+    c = np.asarray(mesh.coords)
+    bc = np.asarray(mesh.dirichlet_mask)
+    mn = np.asarray(mesh.neumann_mask)
+    geom = np.asarray(mesh.geom_boundary_mask)
+    ny = mesh.hybrid.lattice.ny
+    # left face Dirichlet, right face Neumann (reference conventions)
+    assert bc[np.abs(c[:, 0]) < 1e-8].all()
+    assert mn[np.abs(c[:, 0] - 2.0) < 1e-8].all()
+    # rim nodes are geometric boundary (frozen under r-adaptivity)
+    n_lat = mesh.hybrid.lattice.nx * ny
+    assert geom[n_lat:].all()
+    # every right-face segment present as a Neumann edge
+    assert mesh.neumann_edges.shape[0] == ny - 1
+    # pinned (dead/clearance) nodes are Dirichlet and never referenced
+    used = np.zeros(mesh.n_nodes, bool)
+    used[np.asarray(mesh.connectivity)] = True
+    assert bc[~used].all() and geom[~used].all() and not mn[~used].any()
+
+
+def test_hole_touching_boundary_raises():
+    with pytest.raises(ValueError):
+        generate_mesh_hybrid(lc=0.05, holes=((0.05, 0.5, 0.12),))
+
+
+def test_holefree_is_pure_lattice():
+    mesh = generate_mesh_hybrid(lc=0.1, holes=())
+    assert mesh.hybrid.extra_conn.shape[0] == 0
+    assert mesh.hybrid.lattice.all_present
+    assert mesh.n_nodes == mesh.hybrid.lattice.nx * mesh.hybrid.lattice.ny
+
+
+# ----------------------------------------------------- route equality
+@pytest.mark.parametrize("variant", ["up", "down", "zigzag"])
+def test_energy_equals_generic_path(variant):
+    mesh = _mesh(lc=0.075, variant=variant)
+    model, loss = _loss(mesh)
+    params = model.init(jax.random.PRNGKey(1), mesh)
+    # make the field non-trivial so strains are O(1)
+    params = {**params,
+              "u": params["u"] + 1e-3 * jnp.sin(
+                  jnp.asarray(mesh.coords) * 3.0)}
+    generic_mesh = dataclasses.replace(mesh, hybrid=None)
+
+    e_route = loss.total(params, mesh)
+    e_gen = loss.total(params, generic_mesh)
+    assert mesh.hybrid is not None
+    np.testing.assert_allclose(e_route, e_gen, rtol=2e-5)
+
+    g_route = jax.grad(lambda p: loss.total(p, mesh))(params)
+    g_gen = jax.grad(lambda p: loss.total(p, generic_mesh))(params)
+    for k in ("u", "coords"):
+        np.testing.assert_allclose(np.asarray(g_route[k]),
+                                   np.asarray(g_gen[k]),
+                                   rtol=5e-4, atol=5e-3)
+
+
+def test_route_is_actually_taken():
+    mesh = _mesh(lc=0.075)
+    model, loss = _loss(mesh)
+    params = model.init(jax.random.PRNGKey(2), mesh)
+    assert loss._hybrid_total(params, mesh) is not None
+    # and falls back cleanly when conditions don't hold
+    loss_bf = dataclasses.replace(loss, body_force=lambda x: x)
+    assert loss_bf._hybrid_total(params, mesh) is None
+    assert np.isfinite(float(loss_bf.total(params, mesh)))
+
+
+def test_radapt_gradients_flow_and_pins_hold():
+    mesh = _mesh(lc=0.075)
+    model, loss = _loss(mesh)
+    params = model.init(jax.random.PRNGKey(3), mesh)
+    g = jax.grad(lambda p: loss.total(p, mesh))(params)
+    geom = np.asarray(mesh.geom_boundary_mask)
+    gc = np.asarray(g["coords"])
+    assert (gc[geom] == 0).all()            # pinned geometry
+    assert np.abs(gc[~geom]).max() > 0      # interior nodes adapt
+    gu = np.asarray(g["u"])
+    bc = np.asarray(mesh.dirichlet_mask)
+    assert (gu[bc] == 0).all()
+    used = np.zeros(mesh.n_nodes, bool)
+    used[np.asarray(mesh.connectivity)] = True
+    assert (gu[~used] == 0).all()
+
+
+# ----------------------------------------------------------- solving
+@pytest.mark.slow
+def test_lbfgs_solve_decreases_and_is_finite():
+    from hidenn_fem_tpu.solve.drivers import minimize
+    mesh = _mesh(lc=0.075)
+    model, loss = _loss(mesh)
+    params = model.init(jax.random.PRNGKey(4), mesh)
+    u_only = {"u": params["u"]}
+
+    def u_loss(p, m):
+        return loss.total({"u": p["u"], "coords": params["coords"]}, m)
+
+    out, hist = minimize(u_loss, u_only, method="lbfgs", num_steps=80,
+                         loss_args=(mesh,))
+    hist = np.asarray(hist)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+    assert float(hist[-1]) < 0  # traction does work: negative potential

@@ -82,6 +82,13 @@ def test_example11_small(outdir):
     assert os.path.getsize(f"{outdir}/ex11_von_mises.png") > 0
 
 
+def test_example12_small(outdir):
+    from examples import example12_hybrid
+    e = example12_hybrid.main(lc=0.06, outdir=outdir)
+    assert np.isfinite(e) and e < 0      # traction does work
+    assert os.path.getsize(f"{outdir}/ex12_von_mises.png") > 0
+
+
 def test_float64_energy_path():
     """f64 opt-in: model dtype + x64 mesh arrays run the XLA backend."""
     jax.config.update("jax_enable_x64", True)
