@@ -194,6 +194,31 @@ def bench_922k_lattice_holes(ht, slope_time_scan,
     return slope_time_scan(step, params, n1=10, n2=110, args=(mesh,))
 
 
+def bench_hybrid_922k(ht, slope_time_scan):
+    """Production hole geometry (exact circular rims, the reference's
+    example-4 domain class, `/root/reference/examples/example4.py:14-26`)
+    at lattice speed: generate_mesh_hybrid lays a lattice everywhere the
+    plate is rectangular and ties each rim in with a small Delaunay
+    collar (mesh/hybrid.py), so the energy evaluates from node-table
+    prefix SLICES plus an O(rim) collar gather.  Measured r3: 0.609
+    ms/step at 847K elements vs 51.6 ms for the identical mesh forced
+    down the generic banded path (tools/microbench_hybrid.py)."""
+    mesh = ht.generate_mesh_hybrid(
+        holes=((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
+        lc=0.00209)                                # ~847K elements
+    assert mesh.hybrid is not None
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    def step(p, m):
+        val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
+        p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
+        return p, val
+
+    return slope_time_scan(step, params, n1=20, n2=220, args=(mesh,))
+
+
 def bench_plate_solve(ht):
     """Warm wall-clock of the reference's flagship workload: 600 L-BFGS
     iterations on the 6,400-element plate (30 epochs x max_iter=20,
@@ -316,6 +341,12 @@ def main():
             f"{dt_dead * 1e6:.4g}")
     except Exception as e:
         extra["lattice_922k_holes_dead_error"] = repr(e)[:200]
+    try:
+        dt_hy = bench_hybrid_922k(ht, slope_time_scan)
+        extra["hybrid_922k_us_per_step_fwd_bwd"] = float(
+            f"{dt_hy * 1e6:.4g}")
+    except Exception as e:
+        extra["hybrid_922k_error"] = repr(e)[:200]
     try:
         extra["plate_lbfgs600_warm_s"] = float(
             f"{bench_plate_solve(ht):.4g}")

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import quadrature as quad
-from ..ops.lattice_energy import _domain_from_lat, _edge_work, _lat
+from ..ops.lattice_energy import (_domain_from_lat, _edge_work, _lat,
+                                  extra_elements_energy)
 from .sharding import ELEM_AXIS
 
 __all__ = ["sharded_lattice_energy"]
@@ -78,6 +79,13 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
 
     def loss_fn(params, tri):
         route = tri.lattice
+        hy = getattr(tri, "hybrid", None)
+        if route is None and hy is not None:
+            # hybrid lattice+collar meshes (mesh/hybrid.py): the heavy
+            # lattice block shards exactly like a plain lattice mesh;
+            # the O(rim) collar gather stays replicated (a few thousand
+            # rows — GSPMD keeps it off the sharded axis)
+            route = hy.lattice
         if route is None:
             raise ValueError("mesh has no lattice route (gmsh-style "
                              "meshes: use shard_map_banded_energy)")
@@ -96,6 +104,12 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         w_sum = quad.triangle_weight_sum(energy.gauss_order)
         dom = _domain_from_lat(lat_p, _pad_route_rows(route, k),
                                float(energy.E), float(energy.nu), w_sum)
-        return dom - work
+        e = dom - work
+        if hy is not None and tri.lattice is None and \
+                hy.extra_conn.shape[0]:
+            e = e + extra_elements_energy(node, hy.extra_conn,
+                                          float(energy.E),
+                                          float(energy.nu), w_sum)
+        return e
 
     return loss_fn

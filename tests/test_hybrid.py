@@ -145,6 +145,43 @@ def test_radapt_gradients_flow_and_pins_hold():
 
 # ----------------------------------------------------------- solving
 @pytest.mark.slow
+def test_aux_pcg_matches_delaunay_iterations():
+    """The pinned dead lattice nodes must NOT degrade the aux-space
+    preconditioner: rasterizing them as background Dirichlet used to
+    stamp blobs over the hole regions and kill the coarse correction
+    there (100-iter stall vs 32 on the node-free Delaunay mesh of the
+    same geometry).  build_aux_preconditioner now masks Dirichlet to
+    element-referenced nodes; iteration counts must match Delaunay."""
+    import hidenn_fem_tpu as ht
+    from hidenn_fem_tpu.models.structured_grid import StructuredGridP1
+
+    iters = {}
+    for name, gen in (
+            ("hybrid", lambda: generate_mesh_hybrid(lc=0.0252)),
+            ("delaunay", lambda: ht.generate_mesh_delaunay(lc=0.0252))):
+        mesh = gen()
+        model = TriangleP1()
+        params = model.init(jax.random.PRNGKey(0), mesh)
+        energy = PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+        coords0 = params["coords"]
+
+        def loss(p, coords, m):
+            return energy({"u": p["u"], "coords": coords}, m)
+
+        up = {"u": params["u"]}
+        bg = StructuredGridP1(E=10e9, nu=0.3)
+        pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh),
+                                          mesh, bg_model=bg)
+        _, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
+                                   bg_model=bg, max_iters=100, tol=1e-6)
+        h = np.asarray(hist)
+        nz = h[h > 0]
+        assert nz[-1] < 1e-6, f"{name} stalled at {nz[-1]:.2e}"
+        iters[name] = len(nz)
+    assert abs(iters["hybrid"] - iters["delaunay"]) <= 5, iters
+
+
+@pytest.mark.slow
 def test_lbfgs_solve_decreases_and_is_finite():
     from hidenn_fem_tpu.solve.drivers import minimize
     mesh = _mesh(lc=0.075)
