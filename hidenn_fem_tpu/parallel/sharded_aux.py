@@ -59,6 +59,21 @@ def _sharded_u_loss(energy, dmesh: Mesh):
     return u_loss
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_lattice_u_loss(energy, dmesh: Mesh):
+    """Memoized displacement-only adapter over the row-sharded lattice
+    energy — the matvec for lattice-topology and hybrid lattice+collar
+    meshes, which evaluate from node-table slices instead of assembly
+    gathers (847K hybrid: 0.61 ms/step vs 51.6 ms generic)."""
+    from .sharded_lattice import sharded_lattice_energy
+    loss = sharded_lattice_energy(energy, dmesh)
+
+    def u_loss(pu, coords, tri):
+        return loss({"u": pu["u"], "coords": coords}, tri)
+
+    return u_loss
+
+
 def aux_pcg_solve_sharded(energy, mesh, params,
                           dmesh: Optional[Mesh] = None,
                           n_devices: Optional[int] = None,
@@ -90,12 +105,17 @@ def aux_pcg_solve_sharded(energy, mesh, params,
         dmesh = Mesh(np.asarray(devs[:n]), (sh.ELEM_AXIS,))
     D = int(np.prod(list(dmesh.shape.values())))
 
-    ba = mesh.banded
-    if (ba is None or ba.re_conn_rel is None
-            or ba.starts.shape[0] % D or ba.re_nstarts.shape[0] % D):
-        mesh = sh.reband_for_shards(mesh, D)
-
-    u_loss = _sharded_u_loss(energy, dmesh)
+    if mesh.lattice is not None or getattr(mesh, "hybrid", None) \
+            is not None:
+        # lattice / hybrid lattice+collar meshes: matvecs ride the
+        # row-sharded slice route — no banded tables needed
+        u_loss = _sharded_lattice_u_loss(energy, dmesh)
+    else:
+        ba = mesh.banded
+        if (ba is None or ba.re_conn_rel is None
+                or ba.starts.shape[0] % D or ba.re_nstarts.shape[0] % D):
+            mesh = sh.reband_for_shards(mesh, D)
+        u_loss = _sharded_u_loss(energy, dmesh)
     coords0 = params["coords"]
     up = {"u": params["u"]}
     args = (coords0, mesh)

@@ -247,6 +247,46 @@ def test_sharded_aux_pcg_matches_single_device(eight_devices):
     assert float(jnp.max(jnp.abs(sol1["u"] - sol0["u"]))) <= 5e-3 * s
 
 
+@pytest.mark.parametrize("kind", ["lattice", "hybrid"])
+def test_sharded_aux_pcg_lattice_matvec(eight_devices, kind):
+    """aux_pcg_solve_sharded routes lattice-topology and hybrid
+    lattice+collar meshes through the row-sharded lattice matvec
+    (_sharded_lattice_u_loss) instead of banded tables; iterations and
+    solution must match the single-device aux_pcg_solve (whose matvec
+    auto-routes the same fast path single-device)."""
+    from hidenn_fem_tpu.models.structured_grid import StructuredGridP1
+    from hidenn_fem_tpu.parallel.sharded_aux import aux_pcg_solve_sharded
+    from hidenn_fem_tpu.solve.auxspace import aux_pcg_solve
+
+    if kind == "lattice":
+        mesh = ht.proxy_plate_mesh(nx=33, ny=17)
+        assert mesh.lattice is not None
+    else:
+        mesh = ht.generate_mesh_hybrid(holes=((1.0, 0.5, 0.25),),
+                                       lc=0.06)
+        assert mesh.lattice is None and mesh.hybrid is not None
+    tp1 = ht.TriangleP1()
+    params = tp1.init(jax.random.PRNGKey(0), mesh)
+    energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3)
+    coords0 = params["coords"]
+
+    def u_loss(p, coords, m):
+        return energy({"u": p["u"], "coords": coords}, m)
+
+    bg = StructuredGridP1(E=10e9, nu=0.3)
+    sol0, h0 = aux_pcg_solve(u_loss, {"u": params["u"]},
+                             (coords0, mesh), mesh=mesh, bg_model=bg,
+                             max_iters=100, tol=1e-6)
+    sol1, h1 = aux_pcg_solve_sharded(energy, mesh, params, n_devices=8,
+                                     max_iters=100, tol=1e-6)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    assert h1[h1 > 0][-1] <= 1e-6
+    it0, it1 = int((h0 > 0).sum()), int((h1 > 0).sum())
+    assert abs(it1 - it0) <= 2, (it0, it1)
+    s = float(jnp.max(jnp.abs(sol0["u"])))
+    assert float(jnp.max(jnp.abs(sol1["u"] - sol0["u"]))) <= 5e-3 * s
+
+
 def test_edge_padding_degenerate_zero(setup):
     """Padded (0,0) edges have ds == 0 and contribute nothing."""
     mesh, tp1, params, energy = setup
