@@ -200,9 +200,10 @@ def bench_hybrid_922k(ht, slope_time_scan):
     at lattice speed: generate_mesh_hybrid lays a lattice everywhere the
     plate is rectangular and ties each rim in with a small Delaunay
     collar (mesh/hybrid.py), so the energy evaluates from node-table
-    prefix SLICES plus an O(rim) collar gather.  Measured r3: 0.609
-    ms/step at 847K elements vs 51.6 ms for the identical mesh forced
-    down the generic banded path (tools/microbench_hybrid.py)."""
+    prefix SLICES plus a compact-space collar term
+    (ops/lattice_energy.collar_energy).  Measured r3: ~0.39 ms/step at
+    847K elements vs 51.6 ms for the identical mesh forced down the
+    generic banded path (tools/microbench_hybrid.py)."""
     mesh = ht.generate_mesh_hybrid(
         holes=((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1)),
         lc=0.00209)                                # ~847K elements
@@ -223,12 +224,16 @@ def bench_hybrid_922k(ht, slope_time_scan):
 def bench_hybrid_aux_solve(ht, built):
     """Warm wall-clock of the production displacement solve on the 847K
     exact-rim hybrid mesh: auxiliary-space PCG whose every matvec rides
-    the hybrid slice+collar route.  Measured r3: 22 iterations, 0.576 s
+    the hybrid slice+collar route.  Measured r3: 20 iterations, ~0.5 s
     warm (vs 0.93 s on the same-size Delaunay mesh whose matvecs are
-    gather-bound)."""
+    gather-bound).  tol sits ABOVE the f32 residual floor (~1e-6 rel,
+    CLAUDE.md): below it the iteration count measures floor wandering,
+    not convergence (A/B'd r3: two grad orderings identical to 3e-6,
+    then 22 vs 30 'iterations' chasing 1e-6)."""
     import time
     mesh, model, params, energy = built
     coords0 = params["coords"]
+    tol = 3e-6
 
     def loss(p, coords, m):
         return energy({"u": p["u"], "coords": coords}, m)
@@ -236,16 +241,16 @@ def bench_hybrid_aux_solve(ht, built):
     up = {"u": params["u"]}
     pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh), mesh)
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 max_iters=100, tol=1e-6)
+                                 max_iters=100, tol=tol)
     import numpy as np
     np.asarray(hist)                               # warm-up + sync
     t0 = time.time()
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 max_iters=100, tol=1e-6)
+                                 max_iters=100, tol=tol)
     h = np.asarray(hist)
     dt = time.time() - t0
     nz = h[h > 0]
-    assert nz[-1] < 1e-6, f"aux-PCG stalled at {nz[-1]:.2e}"
+    assert nz[-1] < tol, f"aux-PCG stalled at {nz[-1]:.2e}"
     return dt, len(nz)
 
 

@@ -58,7 +58,7 @@ import numpy as np
 
 from .delaunay import _lc_fn, _walk_circle
 from .lattice import LatticeRoute
-from .types import TriMesh
+from .types import TriMesh, build_incidence_table
 
 __all__ = ["HybridRoute", "generate_mesh_hybrid"]
 
@@ -74,11 +74,29 @@ class HybridRoute:
         Neumann face masks (the traction faces are lattice faces —
         the generator rejects holes that reach the boundary ring).
       extra_conn: [K, 3] int32 — collar triangles (global node ids),
-        evaluated by ``ops/lattice_energy.extra_elements_energy``.
+        evaluated by ``ops/lattice_energy.extra_elements_energy`` (the
+        generic fallback).
+      stair_ids: [S] int32 — SORTED unique lattice node ids the collar
+        touches (the staircase ring around each hole).  The fast collar
+        path (``ops/lattice_energy.collar_energy``) restricts all
+        big-table access to these rows: hole-rim nodes are the
+        node-table suffix (slice/zero-pad), so only S ~ O(rim) rows
+        ever gather/scatter against the [N, 4] table — on v5e that
+        traffic is latency-bound at ~60 ns/row scattered no matter how
+        few rows move (measured r3), so shrinking the row set IS the
+        optimization.
+      extra_conn_rel: [K, 3] int32 — ``extra_conn`` remapped into the
+        compact ``[stair | rim]`` node space.
+      extra_incidence: [S + rim, D] int32 — incidence table of
+        ``extra_conn_rel`` (``mesh.types.build_incidence_table``) for
+        the scatter-free gather backward.
     """
 
     lattice: LatticeRoute
     extra_conn: jax.Array
+    stair_ids: jax.Array
+    extra_conn_rel: jax.Array
+    extra_incidence: jax.Array
 
 
 def _shoelace(pts: np.ndarray) -> float:
@@ -301,7 +319,22 @@ def generate_mesh_hybrid(
         # from_arrays for that), and lattice detection rejects rim
         # nodes anyway
         build_banded=False, build_lattice=False, build_fused=False)
+    # compact collar tables (ops/lattice_energy.collar_energy): sorted
+    # unique staircase ids + conn remapped into [stair | rim] space
+    extra = np.asarray(extra, dtype=np.int64)
+    flat = extra.reshape(-1)
+    stair = np.unique(flat[flat < n_lat])
+    abs2comp = np.full(n, -1, dtype=np.int64)
+    abs2comp[stair] = np.arange(stair.size)
+    abs2comp[n_lat:] = stair.size + np.arange(n - n_lat)
+    conn_rel = abs2comp[extra]
+    assert (conn_rel >= 0).all(), "collar references an unmapped node"
+    incidence = build_incidence_table(conn_rel.astype(np.int64),
+                                      stair.size + (n - n_lat))
     return dataclasses.replace(
         mesh, hybrid=HybridRoute(
             lattice=route,
-            extra_conn=jnp.asarray(extra, dtype=jnp.int32)))
+            extra_conn=jnp.asarray(extra, dtype=jnp.int32),
+            stair_ids=jnp.asarray(stair, dtype=jnp.int32),
+            extra_conn_rel=jnp.asarray(conn_rel, dtype=jnp.int32),
+            extra_incidence=jnp.asarray(incidence, dtype=jnp.int32)))

@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import assembly
+
 __all__ = ["lattice_total", "lattice_domain_energy",
            "extra_elements_energy"]
 
@@ -188,13 +190,70 @@ def _domain_from_lat(lat, route, E: float, nu: float,
 def extra_elements_energy(node: jax.Array, conn: jax.Array, E: float,
                           nu: float, w_sum: float) -> jax.Array:
     """Elastic strain energy of a small irregular element set gathered
-    from the [N, 4] node table — the collar term of hybrid meshes
-    (``mesh/hybrid.py``): K is O(hole-rim length), a few thousand rows,
-    well below the gather-rate cliff, so a plain connectivity gather
-    with scatter-add AD backward is the right shape here (the blocked
-    machinery only pays at >250K rows)."""
+    from the [N, 4] node table — the generic collar term of hybrid
+    meshes (``mesh/hybrid.py``).  Correct but NOT the fast path: on v5e
+    a big-table (>256K-row) random access costs ~5 ns/row gathered and
+    ~60 ns/row scatter-added REGARDLESS of how few rows move (latency-
+    bound, measured r3), so even a 2.5K-triangle collar adds ~450 µs of
+    fwd+bwd.  :func:`collar_energy` removes the big-table traffic; this
+    stays as the reference implementation and the fallback when the
+    route carries no compact tables."""
     f = E / (1.0 - nu ** 2)
     g = node[conn]                               # [K, 3, 4]
+    e = _tri_energy(g[:, 0, :], g[:, 1, :], g[:, 2, :], f, nu)
+    return w_sum * jnp.sum(e)
+
+
+@jax.custom_vjp
+def _take_sorted_rows(node: jax.Array, ids: jax.Array) -> jax.Array:
+    """node[ids] for SORTED UNIQUE ids with a sorted-unique scatter-add
+    backward — the one unavoidable big-table access of the collar fast
+    path, annotated so XLA skips sort/dedup handling."""
+    return jax.lax.gather(
+        node, ids[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,)),
+        slice_sizes=(1, node.shape[1]),
+        indices_are_sorted=True, unique_indices=True)
+
+
+def _tsr_fwd(node, ids):
+    return _take_sorted_rows(node, ids), (ids, node.shape)
+
+
+def _tsr_bwd(res, ct):
+    ids, shape = res
+    z = jnp.zeros(shape, ct.dtype)
+    return (z.at[ids].add(ct, indices_are_sorted=True,
+                          unique_indices=True), None)
+
+
+_take_sorted_rows.defvjp(_tsr_fwd, _tsr_bwd)
+
+
+def collar_energy(node: jax.Array, hy, E: float, nu: float,
+                  w_sum: float) -> jax.Array:
+    """Collar term of hybrid meshes in compact node space (fast path).
+
+    The collar touches two node families: hole-rim points, which the
+    hybrid generator places as the node-table SUFFIX (a slice forward,
+    a zero-pad backward — both dense and ~free), and the staircase
+    lattice nodes (``hy.stair_ids``, ~O(rim) of them), the only rows
+    that need big-table access (one sorted-unique gather forward, one
+    sorted-unique scatter-add backward).  All element math then runs in
+    the compact ``[stair | rim]`` table, whose backward is the
+    scatter-free incidence gather (``ops/assembly.py``).  Measured at
+    847K/2.5K-collar: full hybrid step 616 -> 316 µs fwd+bwd (the
+    big-table scatter of ~1.4K stair rows, ~60 ns/row, is the remaining
+    collar cost).  Numerics: equal to :func:`extra_elements_energy` up
+    to reassociation (equality-tested in tests/test_hybrid.py)."""
+    n_lat = hy.lattice.nx * hy.lattice.ny
+    f = E / (1.0 - nu ** 2)
+    compact = jnp.concatenate(
+        [_take_sorted_rows(node, hy.stair_ids), node[n_lat:]], axis=0)
+    g = assembly.gather_with_incidence(compact, hy.extra_conn_rel,
+                                       hy.extra_incidence)
     e = _tri_energy(g[:, 0, :], g[:, 1, :], g[:, 2, :], f, nu)
     return w_sum * jnp.sum(e)
 

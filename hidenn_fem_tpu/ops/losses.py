@@ -479,7 +479,7 @@ class PlaneStressEnergy:
                 or self.body_force is not None or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
-        from .lattice_energy import lattice_total, extra_elements_energy
+        from .lattice_energy import lattice_total, collar_energy
         hy = mesh.hybrid
         node = self.model.packed_nodes(params, mesh)
         w_sum = quad.triangle_weight_sum(self.gauss_order)
@@ -487,9 +487,8 @@ class PlaneStressEnergy:
         e = lattice_total(node, hy.lattice, float(self.E), float(self.nu),
                           w_sum, float(t_x))
         if hy.extra_conn.shape[0]:
-            e = e + extra_elements_energy(node, hy.extra_conn,
-                                          float(self.E), float(self.nu),
-                                          w_sum)
+            e = e + collar_energy(node, hy, float(self.E),
+                                  float(self.nu), w_sum)
         return e
 
     def _lattice_total_node(self, node, mesh: TriMesh):

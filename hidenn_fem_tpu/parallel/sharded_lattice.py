@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import quadrature as quad
 from ..ops.lattice_energy import (_domain_from_lat, _edge_work, _lat,
-                                  extra_elements_energy)
+                                  collar_energy)
 from .sharding import ELEM_AXIS
 
 __all__ = ["sharded_lattice_energy"]
@@ -107,9 +107,8 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         e = dom - work
         if hy is not None and tri.lattice is None and \
                 hy.extra_conn.shape[0]:
-            e = e + extra_elements_energy(node, hy.extra_conn,
-                                          float(energy.E),
-                                          float(energy.nu), w_sum)
+            e = e + collar_energy(node, hy, float(energy.E),
+                                  float(energy.nu), w_sum)
         return e
 
     return loss_fn

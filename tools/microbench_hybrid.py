@@ -88,11 +88,11 @@ def aux_bench(tag, mesh, model, params, energy):
     print(f"{tag}: aux setup bg {pre.grid.nx}x{pre.grid.ny} "
           f"({time.time() - t0:.1f}s incl. compile)", flush=True)
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 bg_model=bg, max_iters=100, tol=1e-6)
+                                 bg_model=bg, max_iters=100, tol=3e-6)
     np.asarray(hist)
     t0 = time.time()
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 bg_model=bg, max_iters=100, tol=1e-6)
+                                 bg_model=bg, max_iters=100, tol=3e-6)
     h = np.asarray(hist)
     nz = h[h > 0]
     print(f"{tag}: aux-PCG {len(nz)} iters to {nz[-1]:.2e}, "
