@@ -198,3 +198,45 @@ def test_lbfgs_solve_decreases_and_is_finite():
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
     assert float(hist[-1]) < 0  # traction does work: negative potential
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_collar_energy_matches_generic(dtype):
+    """ops/lattice_energy.collar_energy (compact [stair | rim] space,
+    sorted-unique big-table access, incidence backward) must equal the
+    generic node[conn] collar — value and node-table gradient — in both
+    precisions.  The compact tables live on HybridRoute (stair_ids,
+    extra_conn_rel, extra_incidence)."""
+    from hidenn_fem_tpu.ops.lattice_energy import (collar_energy,
+                                                   extra_elements_energy)
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    try:
+        mesh = _mesh(lc=0.06, holes=((1.0, 0.5, 0.25),))
+        hy = mesh.hybrid
+        assert hy.extra_conn.shape[0] > 0
+        assert int(hy.stair_ids.shape[0]) > 0
+        # stair ids: sorted, unique, all lattice-block
+        s = np.asarray(hy.stair_ids)
+        assert (np.diff(s) > 0).all()
+        assert s.max() < hy.lattice.nx * hy.lattice.ny
+        node = jax.random.normal(jax.random.PRNGKey(3),
+                                 (mesh.n_nodes, 4), dtype=dtype)
+
+        def e_ref(n):
+            return extra_elements_energy(n, hy.extra_conn, 10e9, 0.3,
+                                         0.5)
+
+        def e_fast(n):
+            return collar_energy(n, hy, 10e9, 0.3, 0.5)
+
+        v0, g0 = jax.value_and_grad(e_ref)(node)
+        v1, g1 = jax.value_and_grad(e_fast)(node)
+        rtol = 1e-12 if dtype == "float64" else 1e-5
+        assert np.isclose(float(v0), float(v1), rtol=rtol)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=10 * rtol,
+            atol=float(np.abs(np.asarray(g0)).max()) * rtol)
+    finally:
+        if dtype == "float64":
+            jax.config.update("jax_enable_x64", False)
