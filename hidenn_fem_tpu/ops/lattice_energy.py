@@ -187,6 +187,68 @@ def _domain_from_lat(lat, route, E: float, nu: float,
     return w_sum * jnp.sum(route.t1 * e1 + route.t2 * e2)
 
 
+def _tri_body_work(a, b, c, pts, w, body_force):
+    """|detJ| * sum_q w_q b(x_q).u(x_q) per triangle from corner stacks
+    [..., 4] (cx, cy, ux, uy) — the lattice-slice analog of
+    ``losses._body_work_gathered`` (same slot order: lam = 1-xi-eta
+    weights the THIRD corner; same physical-point evaluation)."""
+    det = ((a[..., 0] - c[..., 0]) * (b[..., 1] - c[..., 1])
+           - (b[..., 0] - c[..., 0]) * (a[..., 1] - c[..., 1]))
+    xi = pts[:, 0]
+    eta = pts[:, 1]
+    lam = 1.0 - xi - eta
+    sh = (1,) * (a.ndim - 1)
+    xi = xi.reshape(sh + (-1, 1))
+    eta = eta.reshape(sh + (-1, 1))
+    lam = lam.reshape(sh + (-1, 1))
+    xq = (xi * a[..., None, 0:2] + eta * b[..., None, 0:2]
+          + lam * c[..., None, 0:2])               # [..., ng, 2]
+    uq = (xi * a[..., None, 2:4] + eta * b[..., None, 2:4]
+          + lam * c[..., None, 2:4])
+    bf = body_force(xq.reshape(-1, 2)).reshape(uq.shape)
+    return jnp.abs(det) * jnp.sum(w.reshape(sh + (-1,))
+                                  * jnp.sum(bf * uq, axis=-1), axis=-1)
+
+
+def lattice_body_work(node: jax.Array, route, body_force, pts, w
+                      ) -> jax.Array:
+    """Body-force work over the lattice route, all from node-lattice
+    slices — keeps ``body_force != None`` on the fast path instead of
+    silently falling back to the gather assembly (the same cliff
+    VERDICT r2 flagged for the banded path)."""
+    return body_work_from_lat(_lat(node, route), route, body_force,
+                              pts, w)
+
+
+def body_work_from_lat(lat: jax.Array, route, body_force, pts, w
+                       ) -> jax.Array:
+    """Body-force work from an already-built [nx, ny, 4] lattice (the
+    sharded path builds/pads its own).  Hole-dropped triangles are
+    masked by t1/t2 (their dead corners keep coordinates, so detJ
+    alone would NOT exclude them)."""
+    n00 = lat[:-1, :-1]
+    n10 = lat[1:, :-1]
+    n11 = lat[1:, 1:]
+    n01 = lat[:-1, 1:]
+    if route.uniform_sel == "up":
+        w1 = _tri_body_work(n00, n10, n11, pts, w, body_force)
+        w2 = _tri_body_work(n00, n11, n01, pts, w, body_force)
+    elif route.uniform_sel == "down":
+        w1 = _tri_body_work(n00, n10, n01, pts, w, body_force)
+        w2 = _tri_body_work(n10, n11, n01, pts, w, body_force)
+    else:
+        sel = route.sel
+        w1 = jnp.where(sel > 0,
+                       _tri_body_work(n00, n10, n11, pts, w, body_force),
+                       _tri_body_work(n00, n10, n01, pts, w, body_force))
+        w2 = jnp.where(sel > 0,
+                       _tri_body_work(n00, n11, n01, pts, w, body_force),
+                       _tri_body_work(n10, n11, n01, pts, w, body_force))
+    if route.all_present:
+        return jnp.sum(w1) + jnp.sum(w2)
+    return jnp.sum(route.t1 * w1 + route.t2 * w2)
+
+
 def extra_elements_energy(node: jax.Array, conn: jax.Array, E: float,
                           nu: float, w_sum: float) -> jax.Array:
     """Elastic strain energy of a small irregular element set gathered
@@ -233,7 +295,8 @@ _take_sorted_rows.defvjp(_tsr_fwd, _tsr_bwd)
 
 
 def collar_energy(node: jax.Array, hy, E: float, nu: float,
-                  w_sum: float) -> jax.Array:
+                  w_sum: float, body_force=None, pts=None, w=None
+                  ) -> jax.Array:
     """Collar term of hybrid meshes in compact node space (fast path).
 
     The collar touches two node families: hole-rim points, which the
@@ -254,8 +317,12 @@ def collar_energy(node: jax.Array, hy, E: float, nu: float,
         [_take_sorted_rows(node, hy.stair_ids), node[n_lat:]], axis=0)
     g = assembly.gather_with_incidence(compact, hy.extra_conn_rel,
                                        hy.extra_incidence)
-    e = _tri_energy(g[:, 0, :], g[:, 1, :], g[:, 2, :], f, nu)
-    return w_sum * jnp.sum(e)
+    e = w_sum * jnp.sum(_tri_energy(g[:, 0, :], g[:, 1, :], g[:, 2, :],
+                                    f, nu))
+    if body_force is not None:
+        e = e - jnp.sum(_tri_body_work(g[:, 0, :], g[:, 1, :],
+                                       g[:, 2, :], pts, w, body_force))
+    return e
 
 
 def lattice_total(node: jax.Array, route, E: float, nu: float,

@@ -436,10 +436,11 @@ class PlaneStressEnergy:
         instead of the 3*Ne-row connectivity gather + incidence
         backward that bound the unstructured step.  Same numerics as
         the fused path (equality-tested both-gradients in
-        tests/test_lattice_route.py)."""
+        tests/test_lattice_route.py); ``body_force`` rides the route
+        via slice-based work (``lattice_body_work``)."""
         if (mesh.lattice is None or self.assembly != "fused"
                 or self.compat != "exact" or self.traction is not None
-                or self.body_force is not None or self.model.dim_u != 2
+                or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
         node = self.model.packed_nodes(params, mesh)
@@ -476,31 +477,47 @@ class PlaneStressEnergy:
         groups in tests/test_hybrid.py."""
         if (mesh.hybrid is None or self.assembly != "fused"
                 or self.compat != "exact" or self.traction is not None
-                or self.body_force is not None or self.model.dim_u != 2
+                or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
-        from .lattice_energy import lattice_total, collar_energy
+        from .lattice_energy import (lattice_total, collar_energy,
+                                     lattice_body_work)
         hy = mesh.hybrid
         node = self.model.packed_nodes(params, mesh)
         w_sum = quad.triangle_weight_sum(self.gauss_order)
         t_x = self.F_total / self.traction_length
         e = lattice_total(node, hy.lattice, float(self.E), float(self.nu),
                           w_sum, float(t_x))
+        pts = w = None
+        if self.body_force is not None:
+            pts, w = self._domain_rule()
+            e = e - lattice_body_work(node, hy.lattice, self.body_force,
+                                      pts, w)
         if hy.extra_conn.shape[0]:
             e = e + collar_energy(node, hy, float(self.E),
-                                  float(self.nu), w_sum)
+                                  float(self.nu), w_sum,
+                                  body_force=self.body_force,
+                                  pts=pts, w=w)
         return e
 
     def _lattice_total_node(self, node, mesh: TriMesh):
         if (mesh.lattice is None or self.assembly != "fused"
                 or self.compat != "exact" or self.traction is not None
-                or self.body_force is not None or self.model.dim_u != 2
+                or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
-        from .lattice_energy import lattice_total
+        from .lattice_energy import lattice_total, lattice_body_work
         w_sum = quad.triangle_weight_sum(self.gauss_order)
         t_x = self.F_total / self.traction_length
         backend = self._resolve_backend()
+        if self.body_force is not None:
+            # body-force work from the same lattice slices — stays on
+            # the fast path (the slab kernel below doesn't support it)
+            pts, w = self._domain_rule()
+            return (lattice_total(node, mesh.lattice, float(self.E),
+                                  float(self.nu), w_sum, float(t_x))
+                    - lattice_body_work(node, mesh.lattice,
+                                        self.body_force, pts, w))
         if backend in ("pallas", "pallas_interpret"):
             # single-pass slab kernel (ops/lattice_slab.py).  The
             # on-chip A/B measured it SLOWER than the XLA route on

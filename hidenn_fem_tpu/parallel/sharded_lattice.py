@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import quadrature as quad
 from ..ops.lattice_energy import (_domain_from_lat, _edge_work, _lat,
-                                  collar_energy)
+                                  body_work_from_lat, collar_energy)
 from .sharding import ELEM_AXIS
 
 __all__ = ["sharded_lattice_energy"]
@@ -71,8 +71,8 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
     zero-gather identity numbering — a renumbered mesh's permutation
     fill runs replicated before the shard constraint).  The energy must
     be on the lattice-routable configuration (fused assembly, exact
-    compat, default traction, no body force) — same guards as
-    ``PlaneStressEnergy._lattice_total``.
+    compat, default traction; body force rides the sharded slices) —
+    same guards as ``PlaneStressEnergy._lattice_total``.
     """
     n_dev = int(dmesh.devices.size)
     spec = NamedSharding(dmesh, P(axis, None, None))
@@ -90,8 +90,7 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
             raise ValueError("mesh has no lattice route (gmsh-style "
                              "meshes: use shard_map_banded_energy)")
         if (energy.assembly != "fused" or energy.compat != "exact"
-                or energy.traction is not None
-                or energy.body_force is not None):
+                or energy.traction is not None):
             raise ValueError("energy configuration is not "
                              "lattice-routable (see docstring)")
         node = energy.model.packed_nodes(params, tri)
@@ -102,13 +101,23 @@ def sharded_lattice_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         lat_p = jnp.pad(lat, ((0, k), (0, 0), (0, 0)))
         lat_p = jax.lax.with_sharding_constraint(lat_p, spec)
         w_sum = quad.triangle_weight_sum(energy.gauss_order)
-        dom = _domain_from_lat(lat_p, _pad_route_rows(route, k),
-                               float(energy.E), float(energy.nu), w_sum)
+        route_p = _pad_route_rows(route, k)
+        dom = _domain_from_lat(lat_p, route_p, float(energy.E),
+                               float(energy.nu), w_sum)
         e = dom - work
+        pts = w = None
+        if energy.body_force is not None:
+            # body work shards like the domain term: the padded dead
+            # quad rows have t1 = t2 = 0, masking them out of the sum
+            pts, w = energy._domain_rule()
+            e = e - body_work_from_lat(lat_p, route_p,
+                                       energy.body_force, pts, w)
         if hy is not None and tri.lattice is None and \
                 hy.extra_conn.shape[0]:
             e = e + collar_energy(node, hy, float(energy.E),
-                                  float(energy.nu), w_sum)
+                                  float(energy.nu), w_sum,
+                                  body_force=energy.body_force,
+                                  pts=pts, w=w)
         return e
 
     return loss_fn

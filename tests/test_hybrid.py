@@ -120,10 +120,42 @@ def test_route_is_actually_taken():
     model, loss = _loss(mesh)
     params = model.init(jax.random.PRNGKey(2), mesh)
     assert loss._hybrid_total(params, mesh) is not None
-    # and falls back cleanly when conditions don't hold
+    # body force rides the route (r3: lattice_body_work + collar term)
     loss_bf = dataclasses.replace(loss, body_force=lambda x: x)
-    assert loss_bf._hybrid_total(params, mesh) is None
-    assert np.isfinite(float(loss_bf.total(params, mesh)))
+    assert loss_bf._hybrid_total(params, mesh) is not None
+    # and falls back cleanly when conditions don't hold
+    loss_tr = dataclasses.replace(
+        loss, traction=lambda x: jnp.ones_like(x))
+    assert loss_tr._hybrid_total(params, mesh) is None
+    assert np.isfinite(float(loss_tr.total(params, mesh)))
+
+
+def test_body_force_matches_generic_path():
+    """body_force != None must stay on the hybrid route (no silent
+    gather-path cliff) and match the generic assembly — value and both
+    gradient groups — including the collar elements' work term."""
+    mesh = _mesh(lc=0.075)
+    model = TriangleP1()
+    loss = PlaneStressEnergy(
+        model=model, backend="xla",
+        body_force=lambda x: jnp.stack(
+            [jnp.sin(x[:, 0]) * 1e4, x[:, 1] * 2e4], axis=1))
+    params = model.init(jax.random.PRNGKey(1), mesh)
+    params = {**params,
+              "u": params["u"] + 1e-3 * jnp.sin(
+                  jnp.asarray(mesh.coords) * 3.0)}
+    generic_mesh = dataclasses.replace(mesh, hybrid=None)
+
+    assert loss._hybrid_total(params, mesh) is not None
+    e_route = loss.total(params, mesh)
+    e_gen = loss.total(params, generic_mesh)
+    np.testing.assert_allclose(e_route, e_gen, rtol=2e-5)
+    g_route = jax.grad(lambda p: loss.total(p, mesh))(params)
+    g_gen = jax.grad(lambda p: loss.total(p, generic_mesh))(params)
+    for k in ("u", "coords"):
+        np.testing.assert_allclose(np.asarray(g_route[k]),
+                                   np.asarray(g_gen[k]),
+                                   rtol=5e-4, atol=5e-3)
 
 
 def test_radapt_gradients_flow_and_pins_hold():

@@ -96,10 +96,42 @@ def test_route_requires_exact_config():
     assert ht.PlaneStressEnergy(
         model=ht.TriangleP1(compat="reference"), compat="reference",
         backend="xla")._lattice_total(params, mesh) is None
+    # body force rides the route (r3: lattice_body_work)
     bf = lambda x: jnp.zeros_like(x)
     assert ht.PlaneStressEnergy(
         model=model, body_force=bf,
-        backend="xla")._lattice_total(params, mesh) is None
+        backend="xla")._lattice_total(params, mesh) is not None
+
+
+@pytest.mark.parametrize("variant,holes", [
+    ("up", ()),
+    ("zigzag", ((1.0, 0.5, 0.25),)),
+])
+def test_body_force_matches_unstructured(variant, holes):
+    """body_force != None stays on the lattice route
+    (lattice_body_work: slice-based work term, t1/t2-masked dead
+    quads) and matches the generic assembly in value and gradients."""
+    mesh = generate_mesh(nx=33, ny=17, holes=holes, variant=variant,
+                         keep_dead_nodes=bool(holes))
+    assert mesh.lattice is not None
+    model = ht.TriangleP1()
+    params = _perturbed_params(model, mesh)
+    bf = lambda x: jnp.stack([jnp.sin(x[:, 0]) * 1e4,
+                              x[:, 1] * 2e4], axis=1)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3,
+                                  body_force=bf, backend="xla")
+    assert energy._lattice_total(params, mesh) is not None
+    off = dataclasses.replace(mesh, lattice=None)
+    v_lat = float(energy(params, mesh))
+    v_ref = float(energy(params, off))
+    assert np.isclose(v_lat, v_ref, rtol=1e-5), (v_lat, v_ref)
+    g_lat = jax.grad(lambda p: energy(p, mesh))(params)
+    g_ref = jax.grad(lambda p: energy(p, off))(params)
+    for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        np.testing.assert_allclose(np.asarray(g_lat[k]), ref,
+                                   rtol=5e-4,
+                                   atol=1e-5 * np.abs(ref).max())
 
 
 def test_route_in_solver():

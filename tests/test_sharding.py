@@ -371,6 +371,43 @@ def test_sharded_hybrid_energy_matches(eight_devices):
                                                    1e-30))
 
 
+def test_sharded_lattice_body_force_matches(eight_devices):
+    """body_force rides the sharded lattice route (body work from the
+    same padded lattice slices, pad quads masked by t1/t2) — value and
+    gradients must match the single-device total, on both a keep-dead
+    lattice mesh and a hybrid mesh (collar work term included)."""
+    from hidenn_fem_tpu.mesh.structured import generate_mesh
+    from hidenn_fem_tpu.parallel.sharded_lattice import (
+        sharded_lattice_energy)
+
+    bf = lambda x: jnp.stack([jnp.sin(x[:, 0]) * 1e4,
+                              x[:, 1] * 2e4], axis=1)
+    meshes = [
+        generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),),
+                      keep_dead_nodes=True),
+        ht.generate_mesh_hybrid(holes=((1.0, 0.5, 0.25),), lc=0.06),
+    ]
+    dmesh = sh.device_mesh(8)
+    for mesh in meshes:
+        tp1 = ht.TriangleP1()
+        params = tp1.init(jax.random.PRNGKey(0), mesh)
+        params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                               params["u"].shape)
+        energy = ht.PlaneStressEnergy(model=tp1, E=10e9, nu=0.3,
+                                      body_force=bf)
+        loss_fn = sharded_lattice_energy(energy, dmesh)
+        e0 = float(energy(params, mesh))
+        e1 = float(jax.jit(loss_fn)(params, mesh))
+        assert np.isclose(e0, e1, rtol=1e-5), (e0, e1)
+        g0 = jax.grad(lambda p: energy(p, mesh))(params)
+        g1 = jax.jit(jax.grad(loss_fn))(params, mesh)
+        for k in g0:
+            ref = np.asarray(g0[k])
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), ref, rtol=5e-4,
+                atol=1e-6 * max(np.abs(ref).max(), 1e-30))
+
+
 def test_sharded_lattice_is_actually_sharded(eight_devices):
     """The compiled sharded-lattice step really distributes: the padded
     lattice operand is row-sharded in the compiled HLO (not replicated
