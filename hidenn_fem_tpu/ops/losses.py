@@ -437,14 +437,26 @@ class PlaneStressEnergy:
         backward that bound the unstructured step.  Same numerics as
         the fused path (equality-tested both-gradients in
         tests/test_lattice_route.py); ``body_force`` rides the route
-        via slice-based work (``lattice_body_work``)."""
+        via slice-based work (``lattice_body_work``), and a custom
+        ``traction`` callable keeps the DOMAIN on the route (the edge
+        term is O(boundary) and evaluates generically)."""
         if (mesh.lattice is None or self.assembly != "fused"
-                or self.compat != "exact" or self.traction is not None
-                or self.model.dim_u != 2
+                or self.compat != "exact" or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
         node = self.model.packed_nodes(params, mesh)
-        return self._lattice_total_node(node, mesh)
+        if self.traction is None:
+            return self._lattice_total_node(node, mesh)
+        from .lattice_energy import (lattice_domain_energy,
+                                     lattice_body_work)
+        w_sum = quad.triangle_weight_sum(self.gauss_order)
+        e = lattice_domain_energy(node, mesh.lattice, float(self.E),
+                                  float(self.nu), w_sum)
+        if self.body_force is not None:
+            pts, w = self._domain_rule()
+            e = e - lattice_body_work(node, mesh.lattice,
+                                      self.body_force, pts, w)
+        return e - self.edge_energy(params, mesh)
 
     def total_from_nodes(self, node, mesh: TriMesh) -> jax.Array:
         """Energy as a function of the packed [N, 4] node table (BC
@@ -476,18 +488,25 @@ class PlaneStressEnergy:
         path up to reassociation — equality-tested value + both gradient
         groups in tests/test_hybrid.py."""
         if (mesh.hybrid is None or self.assembly != "fused"
-                or self.compat != "exact" or self.traction is not None
-                or self.model.dim_u != 2
+                or self.compat != "exact" or self.model.dim_u != 2
                 or getattr(self.model, "compat", "exact") != "exact"):
             return None
         from .lattice_energy import (lattice_total, collar_energy,
-                                     lattice_body_work)
+                                     lattice_body_work,
+                                     lattice_domain_energy)
         hy = mesh.hybrid
         node = self.model.packed_nodes(params, mesh)
         w_sum = quad.triangle_weight_sum(self.gauss_order)
-        t_x = self.F_total / self.traction_length
-        e = lattice_total(node, hy.lattice, float(self.E), float(self.nu),
-                          w_sum, float(t_x))
+        if self.traction is None:
+            t_x = self.F_total / self.traction_length
+            e = lattice_total(node, hy.lattice, float(self.E),
+                              float(self.nu), w_sum, float(t_x))
+        else:
+            # custom traction: domain stays on the route, the
+            # O(boundary) edge term evaluates generically
+            e = (lattice_domain_energy(node, hy.lattice, float(self.E),
+                                       float(self.nu), w_sum)
+                 - self.edge_energy(params, mesh))
         pts = w = None
         if self.body_force is not None:
             pts, w = self._domain_rule()

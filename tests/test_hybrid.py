@@ -120,14 +120,44 @@ def test_route_is_actually_taken():
     model, loss = _loss(mesh)
     params = model.init(jax.random.PRNGKey(2), mesh)
     assert loss._hybrid_total(params, mesh) is not None
-    # body force rides the route (r3: lattice_body_work + collar term)
+    # body force and custom traction ride the route (r3)
     loss_bf = dataclasses.replace(loss, body_force=lambda x: x)
     assert loss_bf._hybrid_total(params, mesh) is not None
-    # and falls back cleanly when conditions don't hold
     loss_tr = dataclasses.replace(
         loss, traction=lambda x: jnp.ones_like(x))
-    assert loss_tr._hybrid_total(params, mesh) is None
-    assert np.isfinite(float(loss_tr.total(params, mesh)))
+    assert loss_tr._hybrid_total(params, mesh) is not None
+    # and falls back cleanly when conditions don't hold
+    loss_c = dataclasses.replace(loss, assembly="quadrature")
+    assert loss_c._hybrid_total(params, mesh) is None
+    assert np.isfinite(float(loss_c.total(params, mesh)))
+
+
+def test_traction_callable_matches_generic_path():
+    """A custom traction callable keeps the domain on the hybrid route
+    (the O(boundary) edge term evaluates generically) and matches the
+    generic assembly."""
+    mesh = _mesh(lc=0.075)
+    model = TriangleP1()
+    loss = PlaneStressEnergy(
+        model=model, backend="xla",
+        traction=lambda x: jnp.stack(
+            [1e5 * (1.0 + 0.3 * x[:, 1]), 2e4 * jnp.ones(x.shape[0])],
+            axis=1))
+    params = model.init(jax.random.PRNGKey(1), mesh)
+    params = {**params,
+              "u": params["u"] + 1e-3 * jnp.sin(
+                  jnp.asarray(mesh.coords) * 3.0)}
+    generic_mesh = dataclasses.replace(mesh, hybrid=None)
+    assert loss._hybrid_total(params, mesh) is not None
+    np.testing.assert_allclose(loss.total(params, mesh),
+                               loss.total(params, generic_mesh),
+                               rtol=2e-5)
+    g_route = jax.grad(lambda p: loss.total(p, mesh))(params)
+    g_gen = jax.grad(lambda p: loss.total(p, generic_mesh))(params)
+    for k in ("u", "coords"):
+        np.testing.assert_allclose(np.asarray(g_route[k]),
+                                   np.asarray(g_gen[k]),
+                                   rtol=5e-4, atol=5e-3)
 
 
 def test_body_force_matches_generic_path():
