@@ -80,6 +80,29 @@ class _AuxPrecond:
     # the caller to re-pass a matching one.
     bg_model: Optional["StructuredGridP1"] = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # Lattice-aligned background (see _lattice_bg_setup): when the mesh
+    # carries a lattice/hybrid route, the background grid IS the fine
+    # node lattice (appended-side-padded to a 2^L-divisible quad count
+    # so the MG hierarchy can coarsen), so P/P^T on the lattice part
+    # are a reshape+zero-pad (kind "reshape": identity/prefix_identity
+    # routes) or a flat permutation gather (kind "perm": hole meshes
+    # with deleted nodes) — never the [N,4] bilinear corner gathers,
+    # which dominate per-iteration cost at scale (~5 ns/row over a
+    # >256K-row table, CLAUDE.md).  Hybrid rim nodes (the node-table
+    # suffix) keep tiny bilinear tables into the padded bg space.
+    lat_kind: str = dataclasses.field(metadata=dict(static=True),
+                                      default="")
+    lat_nx: int = dataclasses.field(metadata=dict(static=True),
+                                    default=0)
+    lat_ny: int = dataclasses.field(metadata=dict(static=True),
+                                    default=0)
+    lat_inv: Optional[jax.Array] = None   # [nx*ny] perm: pos -> node (+n)
+    lat_pos: Optional[jax.Array] = None   # [N] perm: node -> pos
+    rim_corners: Optional[jax.Array] = None  # [R*4] flat PADDED bg ids
+    rim_w: Optional[jax.Array] = None        # [R, 4]
+    aff_ids: Optional[jax.Array] = None      # [A] flat padded bg ids
+    aff_inc: Optional[jax.Array] = None      # [A*D] rim-relative (+R)
+    aff_w: Optional[jax.Array] = None        # [A, D]
 
 
 def _bg_lattice(coords: np.ndarray, dirichlet: np.ndarray,
@@ -115,6 +138,176 @@ def _bg_lattice(coords: np.ndarray, dirichlet: np.ndarray,
         u_dirichlet=None,
         split="up",
     )
+
+
+def _lattice_bg_setup(mesh, route, dirichlet: np.ndarray):
+    """Fine-lattice-resolution background grid + transfer tables.
+
+    The background StructuredGrid reuses the mesh's own node lattice
+    (``mesh/lattice.py`` route): same coordinates, Dirichlet taken
+    EXACTLY from the fine mask (no rasterization), and the hole quads
+    masked from the route's triangle-presence masks.  The quad lattice
+    is padded append-side to the next multiple of 2^L (L chosen so the
+    coarsest level has ~8-16 nodes on the short axis) with dead quads,
+    so ``mg.build_hierarchy`` gets a deep hierarchy on arbitrary
+    (non-2^k+1) lattice shapes; dead padding is outside the operator
+    support, so the V-cycle output there is already masked to zero.
+
+    Returns ``(grid, extras)`` where ``extras`` carries the
+    ``_AuxPrecond`` lattice fields (lat_kind/"reshape" or "perm",
+    rim/affected tables for hybrid suffix nodes).
+    """
+    nx, ny = route.nx, route.ny
+    n_lat = nx * ny
+    coords = np.asarray(mesh.coords)
+    n = coords.shape[0]
+
+    # per-axis levels of the (monotone) lattice
+    if route.identity or route.prefix_identity:
+        lat = coords[:n_lat].reshape(nx, ny, 2)
+        xs, ys = lat[:, 0, 0].copy(), lat[0, :, 1].copy()
+        kind = "reshape"
+        extras = dict(lat_kind=kind, lat_nx=nx, lat_ny=ny)
+    else:
+        inv = np.asarray(route.inv_map, np.int64)
+        live = inv < n
+        xs = np.full(nx, np.nan)
+        ys = np.full(ny, np.nan)
+        li, lj = (np.flatnonzero(live) // ny,
+                  np.flatnonzero(live) % ny)
+        xs[li] = coords[inv[live], 0]
+        ys[lj] = coords[inv[live], 1]
+        # hole-interior levels can be empty only if a whole lattice
+        # row/column died; fill by linear interpolation of the levels
+        for arr in (xs, ys):
+            bad = np.isnan(arr)
+            if bad.any():
+                idx = np.arange(arr.size)
+                arr[bad] = np.interp(idx[bad], idx[~bad], arr[~bad])
+        extras = dict(lat_kind="perm", lat_nx=nx, lat_ny=ny,
+                      lat_inv=jnp.asarray(inv, jnp.int32),
+                      lat_pos=jnp.asarray(np.asarray(route.fwd_map,
+                                                     np.int32)))
+
+    hx = xs[-1] - xs[-2] if nx > 1 else 1.0
+    hy = ys[-1] - ys[-2] if ny > 1 else 1.0
+    m = max(2, min(nx, ny) - 1)
+    lvl = max(1, int(np.floor(np.log2(m))) - 3)
+    step = 1 << lvl
+    big_nx = -(-(nx - 1) // step) * step + 1
+    big_ny = -(-(ny - 1) // step) * step + 1
+    xs_pad = np.concatenate(
+        [xs, xs[-1] + hx * np.arange(1, big_nx - nx + 1)])
+    ys_pad = np.concatenate(
+        [ys, ys[-1] + hy * np.arange(1, big_ny - ny + 1)])
+    xv, yv = np.meshgrid(xs_pad, ys_pad, indexing="ij")
+    bgc = np.stack([xv, yv], axis=-1).astype(np.float32)
+
+    t1 = np.asarray(route.t1)
+    t2 = np.asarray(route.t2)
+    core = (t1 + t2) > 0
+    if n > n_lat:
+        # hybrid collar band: rim/collar fine dofs live inside quads
+        # the lattice route marks dead, and a dof whose background
+        # neighborhood is all-dead gets only the omega*D^{-1} term —
+        # measured 102 vs 26 PCG iterations (~2 per rim dof) on a
+        # 1-hole plate.  Activating the cells containing rim points
+        # (1-dilated, so the whole staircase-to-rim band has background
+        # stiffness) restores their coarse correction; the hole
+        # interior proper stays dead.
+        rimc = coords[n_lat:]
+        ix = np.clip(((rimc[:, 0] - xs[0]) / max(hx, 1e-30)).astype(
+            np.int64), 0, nx - 2)
+        iy = np.clip(((rimc[:, 1] - ys[0]) / max(hy, 1e-30)).astype(
+            np.int64), 0, ny - 2)
+        band = np.zeros_like(core)
+        band[ix, iy] = True
+        d = np.zeros_like(band)
+        for si in (-1, 0, 1):
+            for sj in (-1, 0, 1):
+                d |= np.roll(np.roll(band, si, 0), sj, 1)
+        core = core | d
+    qm = np.zeros((big_nx - 1, big_ny - 1), np.float32)
+    qm[:nx - 1, :ny - 1] = core.astype(np.float32)
+
+    kind_is_reshape = extras["lat_kind"] == "reshape"
+    bc = np.zeros((big_nx, big_ny), bool)
+    if kind_is_reshape:
+        bc[:nx, :ny] = dirichlet[:n_lat].reshape(nx, ny)
+    else:
+        pos = np.asarray(route.fwd_map, np.int64)
+        dn = np.flatnonzero(dirichlet)
+        bc[pos[dn] // ny, pos[dn] % ny] = True
+
+    grid = StructuredGrid(
+        coords=jnp.asarray(bgc),
+        geom_boundary_mask=jnp.asarray(
+            np.zeros((big_nx, big_ny), bool)),
+        dirichlet_mask=jnp.asarray(bc),
+        quad_mask=jnp.asarray(qm),
+        neumann_edge_masks={},
+        u_dirichlet=None,
+        split=route.uniform_sel or "up",
+    )
+
+    # hybrid rim suffix: tiny bilinear tables into the PADDED bg space,
+    # restricted (and renormalized) to supported corners — bg nodes an
+    # active quad references; the rest get no coarse correction (the
+    # V-cycle masks them), so weighting them would only attenuate z.
+    if kind_is_reshape and n > n_lat:
+        rimc = coords[n_lat:]
+        fx = np.clip((rimc[:, 0] - xs[0]) / max(hx, 1e-30), 0, nx - 1)
+        fy = np.clip((rimc[:, 1] - ys[0]) / max(hy, 1e-30), 0, ny - 1)
+        ix = np.clip(np.floor(fx).astype(np.int64), 0, nx - 2)
+        iy = np.clip(np.floor(fy).astype(np.int64), 0, ny - 2)
+        tx = np.clip(fx - ix, 0.0, 1.0)
+        ty = np.clip(fy - iy, 0.0, 1.0)
+        corners = np.stack([ix * big_ny + iy,
+                            (ix + 1) * big_ny + iy,
+                            ix * big_ny + (iy + 1),
+                            (ix + 1) * big_ny + (iy + 1)], axis=1)
+        w = np.stack([(1 - tx) * (1 - ty), tx * (1 - ty),
+                      (1 - tx) * ty, tx * ty], axis=1)
+        act = qm[:nx - 1, :ny - 1] > 0
+        sup = np.zeros((nx, ny), bool)
+        sup[:-1, :-1] |= act
+        sup[1:, :-1] |= act
+        sup[:-1, 1:] |= act
+        sup[1:, 1:] |= act
+        sup_pad = np.zeros((big_nx, big_ny), bool)
+        sup_pad[:nx, :ny] = sup
+        w = w * sup_pad.reshape(-1)[corners]
+        s = w.sum(axis=1, keepdims=True)
+        w = np.where(s > 0, w / np.maximum(s, 1e-30), 0.0).astype(
+            np.float32)
+        # P^T side: incidence of the affected bg nodes over rim indices
+        r_cnt = rimc.shape[0]
+        flat_b = corners.reshape(-1)
+        flat_r = np.repeat(np.arange(r_cnt, dtype=np.int64), 4)
+        flat_w = w.reshape(-1)
+        keep = flat_w > 0
+        flat_b, flat_r, flat_w = flat_b[keep], flat_r[keep], flat_w[keep]
+        aff = np.unique(flat_b)
+        remap = np.zeros(big_nx * big_ny, np.int64)
+        remap[aff] = np.arange(aff.size)
+        rows = remap[flat_b]
+        counts = np.bincount(rows, minlength=aff.size)
+        d = max(int(counts.max()) if counts.size else 1, 1)
+        order = np.argsort(rows, kind="stable")
+        rows, flat_r, flat_w = rows[order], flat_r[order], flat_w[order]
+        slot = (np.arange(rows.size)
+                - np.concatenate([[0], np.cumsum(counts)[:-1]])[rows])
+        aff_inc = np.full((aff.size, d), r_cnt, np.int64)
+        aff_w = np.zeros((aff.size, d), np.float32)
+        aff_inc[rows, slot] = flat_r
+        aff_w[rows, slot] = flat_w
+        extras.update(
+            rim_corners=jnp.asarray(corners.reshape(-1), jnp.int32),
+            rim_w=jnp.asarray(w),
+            aff_ids=jnp.asarray(aff, jnp.int32),
+            aff_inc=jnp.asarray(aff_inc.reshape(-1), jnp.int32),
+            aff_w=jnp.asarray(aff_w))
+    return grid, extras
 
 
 def _transfer_tables(coords: np.ndarray, grid_np) -> Tuple[np.ndarray,
@@ -210,7 +403,8 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
                              bg_model: Optional[StructuredGridP1] = None,
                              bg_shape: Optional[Tuple[int, int]] = None,
                              node_colors=None, omega: float = 0.5,
-                             u_key: str = "u") -> _AuxPrecond:
+                             u_key: str = "u",
+                             lattice_bg: bool = True) -> _AuxPrecond:
     """One-time setup: background lattice + MG hierarchy + transfer
     tables + exact Jacobi diagonal.
 
@@ -237,6 +431,18 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
     used = np.zeros(n, dtype=bool)
     used[np.asarray(mesh.connectivity).reshape(-1)] = True
     dirichlet = dirichlet & used
+
+    # lattice/hybrid meshes: the background grid is the fine lattice
+    # itself (identity/permutation transfers, exact Dirichlet, fine-
+    # resolution operator) unless the caller pinned a bg_shape
+    hyb = getattr(mesh, "hybrid", None)
+    route = (hyb.lattice if hyb is not None
+             else getattr(mesh, "lattice", None))
+    lat_grid = lat_extras = None
+    if lattice_bg and route is not None and bg_shape is None \
+            and route.nx >= 9 and route.ny >= 9:
+        lat_grid, lat_extras = _lattice_bg_setup(mesh, route, dirichlet)
+
     if bg_shape is None:
         side = max(33, int(np.sqrt(n) / 2))
         k = 1 << max(5, int(np.ceil(np.log2(max(side - 1, 1)))))
@@ -249,11 +455,21 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
     if bg_model is None:
         bg_model = StructuredGridP1(E=10e9, nu=0.3)
 
-    grid = _bg_lattice(coords, dirichlet, bg_nx, bg_ny)
+    if lat_grid is not None:
+        grid = lat_grid
+    else:
+        grid = _bg_lattice(coords, dirichlet, bg_nx, bg_ny)
     levels = mg.build_hierarchy(bg_model, grid,
                                 jnp.asarray(grid.coords))
-    p_idx, p_w, pt_idx, pt_w = _transfer_tables(
-        coords, (np.asarray(grid.coords), bg_nx, bg_ny))
+    if lat_grid is None:
+        p_idx, p_w, pt_idx, pt_w = _transfer_tables(
+            coords, (np.asarray(grid.coords), bg_nx, bg_ny))
+    else:
+        z1 = np.zeros((0,), np.int64)
+        p_idx = z1.reshape(0, 1)
+        p_w = np.zeros((0, 1), np.float32)
+        pt_idx = z1.reshape(0, 1)
+        pt_w = np.zeros((0, 1), np.float32)
 
     if node_colors is None:
         from ..mesh.coloring import color_nodes
@@ -261,11 +477,16 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
     diag = jacobi_diagonal(loss_fn, params, loss_args, node_colors)
     d = diag[u_key]
     dinv = jnp.where(d > _TINY, 1.0 / jnp.maximum(d, _TINY), 0.0)
-    free = 1.0 - np.asarray(dirichlet, np.float32)[:, None]
+    # free excludes dead (element-unreferenced) nodes too: the solid
+    # background otherwise interpolates junk into dead dofs — energy-
+    # invisible (the operator never sees them) but it breaks solution
+    # comparisons against plain CG, which leaves them untouched
+    free = np.asarray(used & ~dirichlet, np.float32)[:, None]
 
     win = (_windowed_pt(pt_idx, pt_w, n, bg_nx, bg_ny)
-           if n > 200_000 else None)   # flat tables stay below the
-    # gather row-rate cliff at small scale; windows only pay above it
+           if lat_grid is None and n > 200_000 else None)
+    # flat tables stay below the gather row-rate cliff at small scale;
+    # windows only pay above it (and the lattice path needs neither)
     ptw_rel, ptw_w, ptw_starts, ptw_width = (
         win if win is not None else (None, None, None, 0))
 
@@ -277,13 +498,49 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
         pt_w=jnp.asarray(pt_w),
         free=jnp.asarray(free),
         ptw_rel=ptw_rel, ptw_w=ptw_w, ptw_starts=ptw_starts,
-        ptw_width=ptw_width, omega=float(omega), bg_model=bg_model)
+        ptw_width=ptw_width, omega=float(omega), bg_model=bg_model,
+        **(lat_extras or {}))
 
 
 def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
     """M^{-1} r (see module docstring); [N, 2] in and out."""
     nb_nx, nb_ny = pre.grid.nx, pre.grid.ny
     rf = r * pre.free
+    if pre.lat_kind == "reshape":
+        # lattice-aligned background: the lattice prefix IS the bg grid
+        # core, so P^T is a reshape + zero-pad and P a slice; hybrid
+        # rim nodes (the suffix) ride tiny incidence/corner tables
+        nx, ny = pre.lat_nx, pre.lat_ny
+        n_lat = nx * ny
+        r_bg = jnp.pad(rf[:n_lat].reshape(nx, ny, 2),
+                       ((0, nb_nx - nx), (0, nb_ny - ny), (0, 0)))
+        if pre.rim_corners is not None:
+            rim = rf[n_lat:]
+            rim_pad = jnp.concatenate(
+                [rim, jnp.zeros((1, 2), rf.dtype)])
+            g = rim_pad[pre.aff_inc].reshape(*pre.aff_w.shape, 2)
+            contrib = jnp.sum(pre.aff_w[..., None] * g, axis=1)
+            r_bg = r_bg.reshape(-1, 2).at[pre.aff_ids].add(
+                contrib.astype(rf.dtype)).reshape(nb_nx, nb_ny, 2)
+        z_bg = mg.vcycle(bg_model, pre.levels, r_bg, g0s=g0s)
+        zf = z_bg[:nx, :ny].reshape(-1, 2)
+        if pre.rim_corners is not None:
+            zc = z_bg.reshape(-1, 2)[pre.rim_corners].reshape(-1, 4, 2)
+            z_rim = jnp.sum(pre.rim_w[..., None] * zc, axis=1)
+            zf = jnp.concatenate([zf, z_rim.astype(zf.dtype)], axis=0)
+        return pre.free * (pre.omega * pre.dinv * r + zf)
+    if pre.lat_kind == "perm":
+        # deleted-node lattice: P^T/P are a single flat permutation
+        # gather each (injective inv_map/fwd_map pair) — ~4x fewer
+        # rows than the 4-corner bilinear tables, and the bg operator
+        # is the fine-resolution lattice discretization
+        nx, ny = pre.lat_nx, pre.lat_ny
+        rf_pad = jnp.concatenate([rf, jnp.zeros((1, 2), rf.dtype)])
+        r_bg = jnp.pad(rf_pad[pre.lat_inv].reshape(nx, ny, 2),
+                       ((0, nb_nx - nx), (0, nb_ny - ny), (0, 0)))
+        z_bg = mg.vcycle(bg_model, pre.levels, r_bg, g0s=g0s)
+        zf = z_bg[:nx, :ny].reshape(-1, 2)[pre.lat_pos]
+        return pre.free * (pre.omega * pre.dinv * r + zf)
     if pre.ptw_rel is not None:
         # blocked-window P^T: each bg-row block gathers from a
         # dynamic-sliced fine window (below the gather row-rate cliff)

@@ -118,7 +118,10 @@ def test_aux_pcg_node_order_invariant():
     """Nothing in the coloring / transfer tables / incidence machinery
     may depend on lattice-friendly node ordering: a randomly permuted
     node numbering must give the identical iteration count and the
-    permuted solution (measured 23 iters both ways, 4e-5 rel diff)."""
+    permuted solution (measured 23 iters both ways; the two orderings
+    take different-but-equivalent preconditioner routes — lattice
+    "reshape" vs "perm" background — so solutions agree only to f32
+    CG-solution accuracy at tol 1e-6, ~6e-4 rel)."""
     from hidenn_fem_tpu.mesh.types import TriMesh
 
     mesh, params, loss = _plate()
@@ -146,7 +149,7 @@ def test_aux_pcg_node_order_invariant():
     assert abs(itA - itB) <= 3, (itA, itB)
     s = float(jnp.max(jnp.abs(solA["u"])))
     assert float(jnp.max(jnp.abs(
-        solB["u"] - solA["u"][inv]))) <= 5e-4 * s
+        solB["u"] - solA["u"][inv]))) <= 2e-3 * s
 
 
 def test_windowed_pt_matches_flat():
@@ -159,7 +162,10 @@ def test_windowed_pt_matches_flat():
     up = {"u": params["u"]}
     args = (params["coords"], mesh)
     bg = StructuredGridP1(E=10e9, nu=0.3)
-    pre = ax.build_aux_preconditioner(loss, up, args, mesh, bg_model=bg)
+    # lattice_bg=False: this test exercises the GENERIC bilinear
+    # transfer machinery, which the lattice-aligned background skips
+    pre = ax.build_aux_preconditioner(loss, up, args, mesh, bg_model=bg,
+                                      lattice_bg=False)
     assert pre.ptw_rel is None         # small scale stays flat
     n = mesh.n_nodes
     pt_idx = np.asarray(pre.pt_idx).reshape(pre.pt_w.shape)
@@ -195,3 +201,59 @@ def test_aux_preconditioner_reuse():
     h1 = np.asarray(h1)
     assert h1[h1 > 0][-1] <= 1e-6
     assert np.all(np.isfinite(np.asarray(sol1["u"])))
+
+
+def test_lattice_bg_kinds_symmetric_and_match_generic():
+    """The lattice-aligned background paths (kind "reshape" on
+    identity/hybrid routes, "perm" on deleted-node hole lattices) must
+    (a) be engaged on the right meshes, (b) apply a SYMMETRIC M^{-1}
+    (PCG requirement: <x, My> == <Mx, y>), and (c) converge to the
+    same solution as the generic bilinear-transfer background."""
+    from hidenn_fem_tpu.mesh.hybrid import generate_mesh_hybrid
+    from hidenn_fem_tpu.solve import auxspace as ax
+
+    def _case(mesh, expect_kind, has_rim):
+        model = ht.TriangleP1()
+        params = model.init(jax.random.PRNGKey(0), mesh)
+        energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+        def loss(p, coords, m):
+            return energy({"u": p["u"], "coords": coords}, m)
+
+        up = {"u": params["u"]}
+        args = (params["coords"], mesh)
+        bg = StructuredGridP1(E=10e9, nu=0.3)
+        pre = build_aux_preconditioner(loss, up, args, mesh, bg_model=bg)
+        assert pre.lat_kind == expect_kind
+        assert (pre.rim_corners is not None) == has_rim
+        rng = np.random.RandomState(1)
+        n = mesh.n_nodes
+        x = jnp.asarray(rng.randn(n, 2).astype(np.float32))
+        y = jnp.asarray(rng.randn(n, 2).astype(np.float32))
+        mx = ax._apply_aux(bg, pre, x)
+        my = ax._apply_aux(bg, pre, y)
+        a, b = float(jnp.vdot(x, my)), float(jnp.vdot(mx, y))
+        assert abs(a - b) <= 1e-4 * max(abs(a), abs(b)), (a, b)
+
+        solL, hL = aux_pcg_solve(loss, up, args, pre=pre, bg_model=bg,
+                                 max_iters=300, tol=1e-6)
+        preG = build_aux_preconditioner(loss, up, args, mesh,
+                                        bg_model=bg, lattice_bg=False)
+        assert preG.lat_kind == ""
+        solG, _ = aux_pcg_solve(loss, up, args, pre=preG, bg_model=bg,
+                                max_iters=300, tol=1e-6)
+        hL = np.asarray(hL)
+        assert hL[hL > 0][-1] <= 1e-6
+        s = float(jnp.max(jnp.abs(solG["u"])))
+        assert float(jnp.max(jnp.abs(
+            solL["u"] - solG["u"]))) <= 2e-3 * s
+
+    _case(ht.proxy_plate_mesh(nx=33, ny=17), "reshape", False)
+    _case(ht.generate_mesh(length=2.0, height=1.0,
+                           holes=((0.6, 0.5, 0.22),),
+                           boundaries={"up": 0, "down": 0,
+                                       "right": 2, "left": 1},
+                           nx=33, ny=17, variant="up"),
+          "perm", False)
+    _case(generate_mesh_hybrid(lc=0.05, holes=((0.6, 0.5, 0.22),)),
+          "reshape", True)

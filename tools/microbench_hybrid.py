@@ -74,7 +74,7 @@ def generic_bench(tag, mesh, params, step_vg):
           f"tables {prep:.1f}s)", flush=True)
 
 
-def aux_bench(tag, mesh, model, params, energy):
+def aux_bench(tag, mesh, model, params, energy, lattice_bg=True):
     coords0 = params["coords"]
 
     def loss(p, coords, m):
@@ -82,9 +82,11 @@ def aux_bench(tag, mesh, model, params, energy):
 
     up = {"u": params["u"]}
     bg = StructuredGridP1(E=10e9, nu=0.3)
+    tag = f"{tag}{'' if lattice_bg else ' generic-bg'}"
     t0 = time.time()
     pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh), mesh,
-                                      bg_model=bg)
+                                      bg_model=bg,
+                                      lattice_bg=lattice_bg)
     print(f"{tag}: aux setup bg {pre.grid.nx}x{pre.grid.ny} "
           f"({time.time() - t0:.1f}s incl. compile)", flush=True)
     sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
@@ -109,7 +111,10 @@ def main():
         mesh = build("hybrid-922k", 0.00209)
         model, params, energy, step_vg = step_bench("hybrid-922k", mesh)
         generic_bench("hybrid-922k", mesh, params, step_vg)
-        aux_bench("hybrid-922k", mesh, model, params, energy)
+        aux_bench("hybrid-922k", mesh, model, params, energy,
+                  lattice_bg=False)
+        aux_bench("hybrid-922k", mesh, model, params, energy,
+                  lattice_bg=True)
 
 
 if __name__ == "__main__":
