@@ -16,10 +16,15 @@ Measured warm on one TPU v5e chip, 921,600 unstructured elements
 (463K nodes, blocked-window assembly path):
 
 * plain matrix-free CG: 2,190 iterations, 40.0 s
-* auxiliary-space PCG: **21 iterations, 0.70 s** — 57x (gather-path
-  matvecs, what a genuinely unstructured gmsh mesh sees)
-* with lattice-route matvecs (this proxy mesh has lattice topology,
-  so `mesh/lattice.py` detects it): same 21 iterations, **0.307 s**
+* auxiliary-space PCG, generic background (bilinear transfer tables —
+  what a genuinely unstructured gmsh mesh sees; lattice-route matvecs
+  apply since this proxy has lattice topology): **21 iterations,
+  0.307 s** (0.70 s on the pure gather-path matvecs)
+* lattice-aligned background (default when the mesh carries a
+  lattice/hybrid route): P/P^T collapse to a reshape and the
+  background operator runs at FINE resolution — see docs/SOLVERS.md
+  for the iteration/wall trade (more effective per-wall, a few more
+  iterations than the half-resolution generic background)
 
 Run: ``python -m examples.example10_auxspace [nx ny]``
 """
@@ -49,27 +54,42 @@ def main(nx: int = 961, ny: int = 481):
     up = {"u": params["u"]}
     bg = StructuredGridP1(E=10e9, nu=0.3)
 
-    t0 = time.time()
-    pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh), mesh,
-                                      bg_model=bg)
-    print(f"setup: background lattice {pre.grid.nx}x{pre.grid.ny}, "
-          f"P^T table depth {pre.pt_w.shape[1]} "
-          f"({time.time() - t0:.1f}s incl. compile)")
+    # Two framings of the SAME solve:
+    #  * generic background (lattice_bg=False): bilinear transfer
+    #    tables — what a real gmsh/Delaunay mesh pays (the 21-iter /
+    #    0.70 s number at 922K);
+    #  * lattice-aligned background (default): this proxy mesh HAS
+    #    lattice topology, so P/P^T become a reshape (or permutation)
+    #    and the background operator runs at fine resolution.
+    sol = h = None
+    for label, lattice_bg in (("generic bg", False),
+                              ("lattice-aligned bg", True)):
+        t0 = time.time()
+        pre = ht.build_aux_preconditioner(loss, up, (coords0, mesh),
+                                          mesh, bg_model=bg,
+                                          lattice_bg=lattice_bg)
+        detail = (f"kind={pre.lat_kind!r}" if pre.lat_kind
+                  else f"P^T table depth {pre.pt_w.shape[1]}")
+        print(f"[{label}] setup: background lattice "
+              f"{pre.grid.nx}x{pre.grid.ny}, {detail} "
+              f"({time.time() - t0:.1f}s incl. compile)")
 
-    t0 = time.time()
-    sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 bg_model=bg, max_iters=100, tol=1e-6)
-    h = np.asarray(hist)
-    nz = h[h > 0]
-    print(f"aux-PCG: {len(nz)} iterations to rel res {nz[-1]:.2e} "
-          f"({time.time() - t0:.1f}s incl. compile); energy "
-          f"{float(loss(sol, coords0, mesh)):.6e}")
+        t0 = time.time()
+        sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh),
+                                     pre=pre, bg_model=bg,
+                                     max_iters=100, tol=1e-6)
+        h = np.asarray(hist)
+        nz = h[h > 0]
+        print(f"[{label}] aux-PCG: {len(nz)} iterations to rel res "
+              f"{nz[-1]:.2e} ({time.time() - t0:.1f}s incl. compile); "
+              f"energy {float(loss(sol, coords0, mesh)):.6e}")
 
-    t0 = time.time()
-    sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh), pre=pre,
-                                 bg_model=bg, max_iters=100, tol=1e-6)
-    np.asarray(hist)          # materialize: dispatch alone is async
-    print(f"warm solve: {time.time() - t0:.3f}s")
+        t0 = time.time()
+        sol, hist = ht.aux_pcg_solve(loss, up, (coords0, mesh),
+                                     pre=pre, bg_model=bg,
+                                     max_iters=100, tol=1e-6)
+        np.asarray(hist)      # materialize: dispatch alone is async
+        print(f"[{label}] warm solve: {time.time() - t0:.3f}s")
     return sol, h
 
 

@@ -27,6 +27,7 @@ unstructured assembly in ``tests/test_lattice_route.py``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LatticeRoute", "detect_lattice"]
+
+# the chunked fill starts paying above the flat gather once the node
+# table is large (the per-row gather latency dominates); below this it
+# only adds pad/select overhead.  HDNN_LATTICE_CHUNK=1/0 forces it
+# on/off (tests force it on at small scale).
+_CHUNK_MIN_NODES = 131072
 
 
 @jax.tree_util.register_dataclass
@@ -88,6 +95,24 @@ class LatticeRoute:
     fw_starts: Optional[jax.Array] = None   # [NB] node-window starts
     bw_rel: Optional[jax.Array] = None      # [MB, S] node<-lattice rel
     bw_starts: Optional[jax.Array] = None   # [MB] position-window starts
+    # chunked-monotone fill tables (see _chunk_dir / ops/lattice_energy
+    # ._perm_fill_chunk): node deletion preserves lattice order, so the
+    # fill map is monotone-with-runs — k consecutive lattice positions
+    # almost always read k consecutive node rows.  Gathering k-node
+    # ALIGNED window pairs from a [~N/k, 2k·C] packed table cuts gather
+    # rows k/2x AND drops the table below the ~256K-row rate cliff; a
+    # per-chunk offset select realigns in-register, and the ~#runs
+    # run-boundary chunks get exact values from a tiny flat gather.
+    ck_fwd_rowA: Optional[jax.Array] = None   # [Mc] aligned window row
+    ck_fwd_off: Optional[jax.Array] = None    # [Mc] in-window offset
+    ck_fwd_live: Optional[jax.Array] = None   # [Mc*k] bool live mask
+    ck_fwd_fix_rows: Optional[jax.Array] = None  # [Ff] non-simple chunks
+    ck_fwd_fix_idx: Optional[jax.Array] = None   # [Ff*k] exact node ids
+    ck_bwd_rowA: Optional[jax.Array] = None   # [Nc] (compaction dir)
+    ck_bwd_off: Optional[jax.Array] = None    # [Nc]
+    ck_bwd_fix_rows: Optional[jax.Array] = None  # [Fb]
+    ck_bwd_fix_idx: Optional[jax.Array] = None   # [Fb*k] lattice pos ids
+    ck_k: int = dataclasses.field(metadata=dict(static=True), default=0)
     nx: int = dataclasses.field(metadata=dict(static=True), default=0)
     ny: int = dataclasses.field(metadata=dict(static=True), default=0)
     identity: bool = dataclasses.field(metadata=dict(static=True),
@@ -149,6 +174,71 @@ def _window_maps(inv_map: np.ndarray, pos: np.ndarray, n: int,
     return (jnp.asarray(fw_rel), jnp.asarray(fw_starts),
             jnp.asarray(bw_rel), jnp.asarray(bw_starts),
             int(fw_width), int(bw_width))
+
+
+def _chunk_dir(m: np.ndarray, s: int, k: int):
+    """Chunk tables for one direction of the monotone fill.
+
+    ``m`` maps output position -> source row (monotone strictly
+    increasing over live entries; entries >= ``s`` are dead).  Returns
+    (rowA [Tc], off [Tc], live [Tc*k] bool or None, fix_rows [F],
+    fix_idx [F*k]) where output chunk ``c`` equals source rows
+    ``[k*rowA[c] + off[c], ... + k)`` for "simple" chunks (all live
+    entries share one shift) and ``fix_idx`` carries the exact source
+    ids for the rest.  Source table padding contract (runtime side):
+    the source is zero-padded to ``(ceil(s/k) + 1) * k`` rows, so
+    ``rowA + 1`` is always a valid k-row window and the sentinel ``s``
+    reads zeros."""
+    t = m.size
+    tc = -(-t // k)
+    mp = np.full(tc * k, s, np.int64)
+    mp[:t] = m
+    ch = mp.reshape(tc, k)
+    live = ch < s
+    base = np.arange(tc * k, dtype=np.int64).reshape(tc, k)
+    shift = base - ch
+    any_live = live.any(axis=1)
+    first_slot = np.argmax(live, axis=1)
+    s_c = np.where(any_live, shift[np.arange(tc), first_slot], base[:, 0])
+    eq = np.where(live, shift, s_c[:, None])
+    simple = (eq == s_c[:, None]).all(axis=1)
+    start = np.where(any_live, base[:, 0] - s_c, 0)
+    # a chunk led by dead slots can have start < 0 (its first live
+    # entry maps near the source head): exact-fixup those
+    simple &= start >= 0
+    start = np.maximum(start, 0)
+    # live starts satisfy start <= m[first live] <= s-1, so
+    # rowA <= (s-1)//k <= ceil(s/k) - 1 = (padded rows) - 2: in range.
+    rowa = (start // k).astype(np.int32)
+    off = (start - rowa.astype(np.int64) * k).astype(np.int32)
+    fix_rows = np.flatnonzero(~simple).astype(np.int32)
+    fix_idx = np.where(live[~simple], ch[~simple], s).astype(np.int32)
+    # pad entries (>= t) are sliced off at runtime: only REAL dead
+    # entries force a mask (the backward/compaction direction is total)
+    live_out = None if live.reshape(-1)[:t].all() else live.reshape(-1)
+    return rowa, off, live_out, fix_rows, fix_idx.reshape(-1)
+
+
+def _chunk_maps(inv_map: np.ndarray, pos: np.ndarray, n: int,
+                nx: int, ny: int, k: int = 8) -> Optional[dict]:
+    """Both directions of the chunked fill (see the LatticeRoute field
+    comment); None when too many chunks straddle run boundaries for
+    the chunking to pay (degenerate hole layouts)."""
+    f_rowa, f_off, f_live, f_fr, f_fi = _chunk_dir(
+        np.asarray(inv_map, np.int64), n, k)
+    b_rowa, b_off, b_live, b_fr, b_fi = _chunk_dir(
+        np.asarray(pos, np.int64), nx * ny, k)
+    assert b_live is None          # pos is total: every node has a slot
+    if (f_fr.size > f_rowa.size // 4) or (b_fr.size > b_rowa.size // 4):
+        return None
+    ja = jnp.asarray
+    return dict(
+        ck_fwd_rowA=ja(f_rowa), ck_fwd_off=ja(f_off),
+        ck_fwd_live=None if f_live is None else ja(f_live),
+        ck_fwd_fix_rows=ja(f_fr), ck_fwd_fix_idx=ja(f_fi),
+        ck_bwd_rowA=ja(b_rowa), ck_bwd_off=ja(b_off),
+        ck_bwd_fix_rows=ja(b_fr), ck_bwd_fix_idx=ja(b_fi),
+        ck_k=int(k))
 
 
 def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
@@ -257,7 +347,16 @@ def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
     # zero gathers).
     fw_rel, fw_starts, bw_rel, bw_starts, fw_width, bw_width = \
         (None,) * 4 + (0, 0)
+    chunk_extras = {}
+    if not identity:
+        env = os.environ.get("HDNN_LATTICE_CHUNK", "")
+        if env == "1" or (env != "0" and n >= _CHUNK_MIN_NODES):
+            k = int(os.environ.get("HDNN_LATTICE_CHUNK_K", "8"))
+            cm = _chunk_maps(inv_map, pos, n, nx, ny, k=k)
+            if cm is not None:
+                chunk_extras = cm
     return LatticeRoute(
+        **chunk_extras,
         fw_rel=fw_rel, fw_starts=fw_starts,
         bw_rel=bw_rel, bw_starts=bw_starts,
         fw_width=fw_width, bw_width=bw_width,

@@ -99,6 +99,63 @@ def _perm_fill_win_bwd(fw_width, bw_width, res, ct):
 _perm_fill_win.defvjp(_perm_fill_win_fwd, _perm_fill_win_bwd)
 
 
+def _chunked_gather(src, rowa, off, live, fix_rows, fix_idx, k, t):
+    """Monotone chunked gather: out[p] = src[m[p]] for a monotone-with-
+    runs map m, from the precomputed chunk tables (mesh/lattice.py:
+    _chunk_dir).  One gather of [Tc] rows from a 2k-node overlapping-
+    window table (k/2x fewer rows than flat AND below the ~256K-row
+    table-rate cliff), a k-way offset select that XLA fuses, and an
+    exact tiny gather + sorted-unique scatter for the ~#runs chunks
+    straddling run boundaries."""
+    s, c = src.shape
+    r = -(-s // k) + 1
+    flat = jnp.pad(src, ((0, r * k - s), (0, 0)))         # [r*k, c]
+    tab = flat.reshape(r, k * c)
+    tab2 = jnp.concatenate([tab[:-1], tab[1:]], axis=1)   # [r-1, 2kc]
+    w = tab2[rowa]                                        # [Tc, 2kc]
+    out = jnp.zeros((rowa.shape[0], k * c), src.dtype)
+    for o in range(k):
+        sl = jax.lax.slice_in_dim(w, o * c, (o + k) * c, axis=1)
+        out = out + jnp.where((off == o)[:, None], sl, 0)
+    if fix_rows.shape[0]:
+        fv = flat[fix_idx].reshape(-1, k * c)             # exact values
+        out = out.at[fix_rows].set(fv, indices_are_sorted=True,
+                                   unique_indices=True)
+    out = out.reshape(-1, c)
+    if live is not None:
+        out = jnp.where(live[:, None], out, 0)
+    return out[:t]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _perm_fill_chunk(spec, node, f_rowa, f_off, f_live, f_fr, f_fi,
+                     b_rowa, b_off, b_fr, b_fi):
+    """Chunked permutation fill: [N, C] node table -> [nx*ny, C]
+    lattice rows; backward is the chunked compaction (the fill map is
+    injective, so its transpose is the gather through ``pos``).
+    ``spec = (k, n_positions, n_nodes)`` (static)."""
+    k, m, n = spec
+    return _chunked_gather(node, f_rowa, f_off, f_live, f_fr, f_fi,
+                           k, m)
+
+
+def _perm_fill_chunk_fwd(spec, node, f_rowa, f_off, f_live, f_fr, f_fi,
+                         b_rowa, b_off, b_fr, b_fi):
+    out = _perm_fill_chunk(spec, node, f_rowa, f_off, f_live, f_fr,
+                           f_fi, b_rowa, b_off, b_fr, b_fi)
+    return out, (b_rowa, b_off, b_fr, b_fi)
+
+
+def _perm_fill_chunk_bwd(spec, res, ct):
+    k, m, n = spec
+    b_rowa, b_off, b_fr, b_fi = res
+    node_ct = _chunked_gather(ct, b_rowa, b_off, None, b_fr, b_fi, k, n)
+    return (node_ct,) + (None,) * 9
+
+
+_perm_fill_chunk.defvjp(_perm_fill_chunk_fwd, _perm_fill_chunk_bwd)
+
+
 def _tri_energy(v0, v1, v2, f, nu):
     """P1 plane-stress element energy density x |detJ| for one triangle
     family of corner slices [..., 4] = (cx, cy, ux, uy) — the identical
@@ -140,6 +197,13 @@ def _lat(node: jax.Array, route) -> jax.Array:
         # hybrid meshes: the lattice block is the node-table prefix —
         # the fill is a slice, its backward a zero-pad (both ~free)
         full = node[:route.nx * route.ny]
+    elif route.ck_k:
+        full = _perm_fill_chunk(
+            (route.ck_k, route.nx * route.ny, node.shape[0]), node,
+            route.ck_fwd_rowA, route.ck_fwd_off, route.ck_fwd_live,
+            route.ck_fwd_fix_rows, route.ck_fwd_fix_idx,
+            route.ck_bwd_rowA, route.ck_bwd_off,
+            route.ck_bwd_fix_rows, route.ck_bwd_fix_idx)
     elif route.fw_rel is not None:
         full = _perm_fill_win(route.fw_width, route.bw_width, node,
                               route.fw_rel, route.fw_starts,

@@ -58,10 +58,15 @@ class _AuxPrecond:
     levels: tuple                 # mg hierarchy on the background grid
     grid: StructuredGrid          # background lattice
     dinv: jax.Array               # [N, 2] guarded inverse fine diagonal
-    p_idx: jax.Array              # [N*4] flat bg-node ids (corner gather)
-    p_w: jax.Array                # [N, 4] bilinear weights
-    pt_idx: jax.Array             # [Nb*D] fine-node ids (+N sentinel)
-    pt_w: jax.Array               # [Nb, D] weights (0 on pad)
+    # generic bilinear transfer tables; None when a lattice-aligned
+    # background is active (lat_kind != "") — the lattice path never
+    # builds them, and a None fails loudly if misused (an earlier
+    # shape-(0,1) placeholder misled introspection, e.g. pt_w.shape[1]
+    # as gather depth)
+    p_idx: Optional[jax.Array]    # [N*4] flat bg-node ids (corner gather)
+    p_w: Optional[jax.Array]      # [N, 4] bilinear weights
+    pt_idx: Optional[jax.Array]   # [Nb*D] fine-node ids (+N sentinel)
+    pt_w: Optional[jax.Array]     # [Nb, D] weights (0 on pad)
     free: jax.Array               # [N, 1] float 1/0 non-Dirichlet fine
     # optional blocked-window P^T tables (see _windowed_pt): above ~256K
     # rows the flat fine-node table crosses the TPU gather row-rate
@@ -222,10 +227,14 @@ def _lattice_bg_setup(mesh, route, dirichlet: np.ndarray):
             np.int64), 0, ny - 2)
         band = np.zeros_like(core)
         band[ix, iy] = True
+        # non-wrapping 1-dilation (np.roll wraps: a rim cell on the
+        # first/last lattice row would activate quads on the OPPOSITE
+        # domain edge or inside another hole's dead region)
+        bp = np.pad(band, 1)
         d = np.zeros_like(band)
-        for si in (-1, 0, 1):
-            for sj in (-1, 0, 1):
-                d |= np.roll(np.roll(band, si, 0), sj, 1)
+        for si in (0, 1, 2):
+            for sj in (0, 1, 2):
+                d |= bp[si:si + band.shape[0], sj:sj + band.shape[1]]
         core = core | d
     qm = np.zeros((big_nx - 1, big_ny - 1), np.float32)
     qm[:nx - 1, :ny - 1] = core.astype(np.float32)
@@ -465,11 +474,9 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
         p_idx, p_w, pt_idx, pt_w = _transfer_tables(
             coords, (np.asarray(grid.coords), bg_nx, bg_ny))
     else:
-        z1 = np.zeros((0,), np.int64)
-        p_idx = z1.reshape(0, 1)
-        p_w = np.zeros((0, 1), np.float32)
-        pt_idx = z1.reshape(0, 1)
-        pt_w = np.zeros((0, 1), np.float32)
+        # lattice-aligned background: generic tables stay None (see
+        # the _AuxPrecond field comment — misuse should fail loudly)
+        p_idx = p_w = pt_idx = pt_w = None
 
     if node_colors is None:
         from ..mesh.coloring import color_nodes
@@ -490,12 +497,15 @@ def build_aux_preconditioner(loss_fn, params, loss_args, mesh,
     ptw_rel, ptw_w, ptw_starts, ptw_width = (
         win if win is not None else (None, None, None, 0))
 
+    def _opt(a):
+        return None if a is None else jnp.asarray(a)
+
     return _AuxPrecond(
         levels=levels, grid=grid, dinv=dinv,
-        p_idx=jnp.asarray(p_idx.reshape(-1)),
-        p_w=jnp.asarray(p_w),
-        pt_idx=jnp.asarray(pt_idx.reshape(-1)),
-        pt_w=jnp.asarray(pt_w),
+        p_idx=_opt(None if p_idx is None else p_idx.reshape(-1)),
+        p_w=_opt(p_w),
+        pt_idx=_opt(None if pt_idx is None else pt_idx.reshape(-1)),
+        pt_w=_opt(pt_w),
         free=jnp.asarray(free),
         ptw_rel=ptw_rel, ptw_w=ptw_w, ptw_starts=ptw_starts,
         ptw_width=ptw_width, omega=float(omega), bg_model=bg_model,

@@ -215,6 +215,92 @@ def test_windowed_fill_equals_flat():
                                                    1e-30))
 
 
+@pytest.mark.parametrize("k", [4, 8, 16])
+@pytest.mark.parametrize("variant,holes", [
+    ("up", ((1.0, 0.5, 0.25),)),
+    ("zigzag", ((0.6, 0.4, 0.15), (1.4, 0.6, 0.2))),
+])
+def test_chunked_fill_equals_flat(k, variant, holes):
+    """The chunked monotone fill (the default above _CHUNK_MIN_NODES)
+    is numerically identical to the flat permutation gather — value and
+    both gradient groups — across hole layouts and chunk sizes."""
+    from hidenn_fem_tpu.mesh import lattice as L
+
+    mesh = generate_mesh(nx=33, ny=17, holes=holes, variant=variant)
+    rt = mesh.lattice
+    assert rt is not None and not rt.identity and rt.ck_k == 0
+    cm = L._chunk_maps(np.asarray(rt.inv_map),
+                       np.asarray(rt.fwd_map, np.int64),
+                       mesh.n_nodes, rt.nx, rt.ny, k=k)
+    if cm is None:       # too many run-boundary chunks at this tiny
+        pytest.skip("chunk gate: fixup fraction too high at test scale")
+    mesh_c = dataclasses.replace(
+        mesh, lattice=dataclasses.replace(rt, **cm))
+    model = ht.TriangleP1()
+    params = _perturbed_params(model, mesh)
+    energy = ht.PlaneStressEnergy(model=model, backend="xla")
+    v_c = float(energy(params, mesh_c))
+    v_f = float(energy(params, mesh))
+    assert np.isclose(v_c, v_f, rtol=1e-6), (v_c, v_f)
+    g_c = jax.grad(lambda p: energy(p, mesh_c))(params)
+    g_f = jax.grad(lambda p: energy(p, mesh))(params)
+    for key in g_f:
+        ref = np.asarray(g_f[key])
+        np.testing.assert_allclose(np.asarray(g_c[key]), ref, rtol=5e-4,
+                                   atol=1e-5 * max(np.abs(ref).max(),
+                                                   1e-30))
+
+
+@pytest.mark.parametrize("k", [3, 4, 8])
+def test_chunked_gather_synthetic(k):
+    """_chunked_gather == src[m] on adversarial monotone maps:
+    leading-dead chunks (negative window start), trailing dead tail,
+    multiple runs inside one chunk (exact fixup), and the total
+    (no-dead) compaction direction."""
+    from hidenn_fem_tpu.mesh.lattice import _chunk_dir
+    from hidenn_fem_tpu.ops.lattice_energy import _chunked_gather
+
+    rng = np.random.default_rng(0)
+    cases = []
+    # leading dead, mid-gaps, trailing dead (expansion direction)
+    m1 = np.array([99, 99, 0, 1, 2, 99, 99, 3, 4, 99, 5, 6, 7, 8,
+                   99, 99, 9, 99], np.int64)
+    cases.append((m1, 10))
+    # dense runs with single-element runs (gap every other entry)
+    m2 = np.array([0, 99, 1, 99, 2, 99, 3, 4, 5, 99, 6], np.int64)
+    cases.append((m2, 7))
+    # total monotone map (compaction direction: no dead entries)
+    m3 = np.sort(rng.choice(40, size=17, replace=False)).astype(np.int64)
+    cases.append((m3, 40))
+    for m, s in cases:
+        m = np.where(m == 99, s, m)
+        src = rng.standard_normal((s, 4)).astype(np.float32)
+        rowa, off, live, fr, fi = _chunk_dir(m, s, k)
+        out = np.asarray(_chunked_gather(
+            jnp.asarray(src), jnp.asarray(rowa), jnp.asarray(off),
+            None if live is None else jnp.asarray(live),
+            jnp.asarray(fr), jnp.asarray(fi), k, m.size))
+        pad = np.concatenate([src, np.zeros((1, 4), np.float32)])
+        ref = pad[np.minimum(m, s)]
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_chunked_fill_auto_enabled(monkeypatch):
+    """HDNN_LATTICE_CHUNK=1 forces the chunk tables onto small meshes
+    (the production gate is node count); the route then uses them."""
+    monkeypatch.setenv("HDNN_LATTICE_CHUNK", "1")
+    mesh = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),))
+    assert mesh.lattice.ck_k == 8
+    model = ht.TriangleP1()
+    params = _perturbed_params(model, mesh)
+    energy = ht.PlaneStressEnergy(model=model, backend="xla")
+    monkeypatch.setenv("HDNN_LATTICE_CHUNK", "0")
+    mesh_f = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),))
+    assert mesh_f.lattice.ck_k == 0
+    assert np.isclose(float(energy(params, mesh)),
+                      float(energy(params, mesh_f)), rtol=1e-6)
+
+
 def test_perm_fill_gradient():
     """The permutation fill's custom backward (a gather, not a scatter)
     equals the autodiff of an equivalent dense formulation."""
