@@ -251,6 +251,45 @@ def test_lattice_bg_iteration_counts():
         assert abs(it_gen - exp_gen) <= 3, (name, it_gen, exp_gen)
 
 
+@pytest.mark.parametrize("lattice_bg", [True, False])
+def test_aux_pcg_float64(lattice_bg):
+    """f64 end-to-end through aux-PCG (VERDICT r3 weak #7): converges
+    BELOW the f32 residual floor (1e-10) on both background kinds and
+    matches the f64 CG solution tightly."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mesh = ht.generate_mesh(length=2.0, height=1.0,
+                                holes=((1.0, 0.5, 0.18),),
+                                boundaries={"up": 0, "down": 0,
+                                            "right": 2, "left": 1},
+                                nx=33, ny=17, variant="up")
+        model = ht.TriangleP1(dtype=jnp.float64)
+        params = model.init(jax.random.PRNGKey(0), mesh)
+        energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+        def loss(p, coords, m):
+            return energy({"u": p["u"], "coords": coords}, m)
+
+        up = {"u": params["u"]}
+        args = (params["coords"], mesh)
+        bg = StructuredGridP1(E=10e9, nu=0.3, dtype=jnp.float64)
+        pre = build_aux_preconditioner(loss, up, args, mesh,
+                                       bg_model=bg,
+                                       lattice_bg=lattice_bg)
+        assert (pre.lat_kind != "") == lattice_bg
+        sola, ha = aux_pcg_solve(loss, up, args, pre=pre, bg_model=bg,
+                                 max_iters=400, tol=1e-10)
+        assert sola["u"].dtype == jnp.float64
+        ha = np.asarray(ha)
+        assert ha[ha > 0][-1] <= 1e-10        # below the f32 floor
+        solc, _ = ht.cg_solve(loss, up, args, max_iters=5000, tol=1e-12)
+        s = float(jnp.max(jnp.abs(solc["u"])))
+        assert float(jnp.max(jnp.abs(
+            sola["u"] - solc["u"]))) <= 1e-8 * s
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_aux_preconditioner_reuse():
     mesh, params, loss = _plate(nx=21, ny=11)
     up = {"u": params["u"]}
