@@ -22,6 +22,7 @@ the reference's example-4 size — about 4,400 elements).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -36,8 +37,13 @@ HOLES = ((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1))
 
 
 def main(lc: float = 0.05, outdir: str = "out"):
+    os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
-    mesh = ht.generate_mesh_unstructured(holes=HOLES, lc=lc)
+    # the Delaunay backend directly: this example demonstrates the
+    # genuinely-irregular path (the generate_mesh_unstructured
+    # dispatcher now auto-hybridizes qualifying hole layouts instead —
+    # see mesh/delaunay.py)
+    mesh = ht.generate_mesh_delaunay(holes=HOLES, lc=lc)
     print(f"mesh: {mesh.n_elements} elements / {mesh.n_nodes} nodes "
           f"(lc={lc:g}, {time.time() - t0:.2f}s, "
           f"lattice={'yes' if mesh.lattice is not None else 'no'})")

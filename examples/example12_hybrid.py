@@ -22,6 +22,7 @@ about 9,400 elements).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -36,6 +37,7 @@ HOLES = ((0.5, 0.7, 0.12), (1.0, 0.3, 0.15), (1.4, 0.6, 0.1))
 
 
 def main(lc: float = 0.02, outdir: str = "out"):
+    os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
     mesh = ht.generate_mesh_hybrid(holes=HOLES, lc=lc)
     k = int(mesh.hybrid.extra_conn.shape[0])
