@@ -34,8 +34,15 @@ def main(cfg: PlateConfig = PlateConfig(), outdir="out"):
                                      list(cfg.holes),
                                      cfg.make_boundaries(), cfg.lc)
     else:
+        # keep_dead_nodes=True: hole-interior nodes stay as pinned dead
+        # DOFs, so the numbering is the identity lattice and the energy
+        # runs the zero-gather route (~16x faster per step at 922K than
+        # the reference's deleted-node numbering, identical physics —
+        # see mesh/structured.py and tests/test_lattice_route.py::
+        # test_keep_dead_nodes_equivalent)
         mesh = ht.generate_mesh(cfg.length, cfg.height, list(cfg.holes),
-                                cfg.make_boundaries(), cfg.nx, cfg.ny)
+                                cfg.make_boundaries(), cfg.nx, cfg.ny,
+                                keep_dead_nodes=True)
 
     print("Nodes:", mesh.n_nodes)
     print("Connectivity:", tuple(mesh.connectivity.shape))

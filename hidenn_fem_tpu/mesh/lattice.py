@@ -36,11 +36,18 @@ import numpy as np
 
 __all__ = ["LatticeRoute", "detect_lattice"]
 
-# the chunked fill starts paying above the flat gather once the node
-# table is large (the per-row gather latency dominates); below this it
-# only adds pad/select overhead.  HDNN_LATTICE_CHUNK=1/0 forces it
-# on/off (tests force it on at small scale).
-_CHUNK_MIN_NODES = 131072
+# The chunked fill (aligned 2k-node window pairs + offset select) was
+# hypothesized to beat the flat permutation gather at scale; measured
+# on v5e at 922K/3 holes it is SLOWER at every k (step 9.9/5.9/6.2 ms
+# at k=8/16/32 vs 5.0 flat — tools/microbench_rowpack.py: the gather
+# win is real, ~0.14 ms, but the pad/concat/select passes on
+# minor-dim-32/64 intermediates pay Mosaic lane relayouts that dwarf
+# it).  A static-quartile windowed variant measured 1.98 vs 2.41
+# ms/direction (1.2x) — not worth the table machinery either.  The
+# fill is latency-bound; the production answer for hole meshes is
+# representation steering: generate_mesh(..., keep_dead_nodes=True)
+# (identity route, zero gathers, ~16x) or the hybrid generator.
+# Chunked stays as an equality-tested opt-in (HDNN_LATTICE_CHUNK=1).
 
 
 @jax.tree_util.register_dataclass
@@ -349,8 +356,7 @@ def detect_lattice(coords: np.ndarray, connectivity: np.ndarray,
         (None,) * 4 + (0, 0)
     chunk_extras = {}
     if not identity:
-        env = os.environ.get("HDNN_LATTICE_CHUNK", "")
-        if env == "1" or (env != "0" and n >= _CHUNK_MIN_NODES):
+        if os.environ.get("HDNN_LATTICE_CHUNK", "") == "1":
             k = int(os.environ.get("HDNN_LATTICE_CHUNK_K", "8"))
             cm = _chunk_maps(inv_map, pos, n, nx, ny, k=k)
             if cm is not None:

@@ -221,8 +221,9 @@ def test_windowed_fill_equals_flat():
     ("zigzag", ((0.6, 0.4, 0.15), (1.4, 0.6, 0.2))),
 ])
 def test_chunked_fill_equals_flat(k, variant, holes):
-    """The chunked monotone fill (the default above _CHUNK_MIN_NODES)
-    is numerically identical to the flat permutation gather — value and
+    """The chunked monotone fill (opt-in: measured SLOWER than flat on
+    v5e at production scale, see the mesh/lattice.py note) stays
+    numerically identical to the flat permutation gather — value and
     both gradient groups — across hole layouts and chunk sizes."""
     from hidenn_fem_tpu.mesh import lattice as L
 
@@ -286,15 +287,15 @@ def test_chunked_gather_synthetic(k):
 
 
 def test_chunked_fill_auto_enabled(monkeypatch):
-    """HDNN_LATTICE_CHUNK=1 forces the chunk tables onto small meshes
-    (the production gate is node count); the route then uses them."""
+    """HDNN_LATTICE_CHUNK=1 opts the chunk tables in (kept as a
+    measured-negative lead); unset/0 leaves them off."""
     monkeypatch.setenv("HDNN_LATTICE_CHUNK", "1")
     mesh = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),))
     assert mesh.lattice.ck_k == 8
     model = ht.TriangleP1()
     params = _perturbed_params(model, mesh)
     energy = ht.PlaneStressEnergy(model=model, backend="xla")
-    monkeypatch.setenv("HDNN_LATTICE_CHUNK", "0")
+    monkeypatch.delenv("HDNN_LATTICE_CHUNK")
     mesh_f = generate_mesh(nx=33, ny=17, holes=((1.0, 0.5, 0.25),))
     assert mesh_f.lattice.ck_k == 0
     assert np.isclose(float(energy(params, mesh)),

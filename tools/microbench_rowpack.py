@@ -37,6 +37,13 @@ row cliff.
   flat fill (3.8 vs 2.4 ms/direction) — the pad/concat/select passes
   on minor-dim-32/64 arrays pay Mosaic lane relayouts that dwarf the
   gather win.  Kept as a tested negative (HDNN_LATTICE_CHUNK=1).
+* static-quartile windowed fill (source split into q static slices,
+  each below the row cliff; monotone map -> contiguous output ranges,
+  so NO scan / dynamic slices / selects): 2.13 (q=4) / 1.98 (q=8) vs
+  2.41 ms/direction flat = **1.2x** — the sub-cliff rate does not
+  fully materialize when the gather operand is a fused window temp.
+  Not worth the table machinery; flat stays the production fill and
+  hole meshes steer to keep_dead_nodes=True / hybrid instead.
 
 Conclusion recorded for VERDICT r3 #1: row-reduction buys at most
 ~1.3-1.5x on each gather leg of the banded step (18.2 -> ~13 ms
