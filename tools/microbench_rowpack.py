@@ -45,11 +45,15 @@ row cliff.
   Not worth the table machinery; flat stays the production fill and
   hole meshes steer to keep_dead_nodes=True / hybrid instead.
 
-Conclusion recorded for VERDICT r3 #1: row-reduction buys at most
-~1.3-1.5x on each gather leg of the banded step (18.2 -> ~13 ms
-class), far from the hybrid route's 0.36 ms — the real answer for the
-production geometry is the auto-hybridizer
-(``generate_mesh_unstructured(..., prefer_hybrid=True)``, default).
+Conclusion recorded for VERDICT r3 #1 (r4, superseded in part): from
+the per-LEG bounds here, row-reduction looked like ~1.3-1.5x — but the
+END-TO-END quad-pairing experiment (``tools/microbench_quadpair.py``)
+measures a full **2.0x** on the complete vg chain at 65K elements
+(the incidence padding shrinks faster than the row counts), so quad
+pairing graduates from "bound" to "land it".  The production answer
+for hole-plate geometry remains the auto-hybridizer
+(``generate_mesh_unstructured(..., prefer_hybrid=True)``, default);
+pairing targets the any-mesh banded fallback.
 
 ## Benchmarking gotcha (cost us a round)
 
