@@ -84,8 +84,16 @@ def bench_6k(ht, slope_time_scan, lattice=True):
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
         return p, val
 
-    dt = slope_time_scan(step, params, n1=50, n2=550, args=(mesh,))
-    return n_qp / dt
+    # At ~4-6 us/step the old (50, 550) pair left only ~2-3 ms of device
+    # signal against the axon tunnel's multi-ms RTT jitter and the slope
+    # occasionally came out NEGATIVE (seen r4: -9e9 qp/s headline).  Use
+    # scan lengths that put >=40 ms of signal in the difference, and
+    # retry on a non-positive slope.
+    for n2 in (10_500, 21_000, 42_000):
+        dt = slope_time_scan(step, params, n1=500, n2=n2, args=(mesh,))
+        if dt > 0:
+            return n_qp / dt
+    raise RuntimeError(f"non-positive slope {dt} for the headline row")
 
 
 def bench_delaunay_6k(ht, slope_time_scan):
@@ -364,18 +372,25 @@ def main():
     except Exception as e:
         extra["delaunay_6k_error"] = repr(e)[:200]
     try:
-        dt_lh = bench_922k_lattice_holes(ht, slope_time_scan)
+        # Production flavor: internal consumers (example 4, aux setup,
+        # README guidance) generate hole meshes with keep_dead_nodes=True
+        # (identity lattice numbering, zero-gather route) — this row is
+        # what a user of the framework actually pays per step.
+        dt_lh = bench_922k_lattice_holes(ht, slope_time_scan,
+                                         keep_dead_nodes=True)
         extra["lattice_922k_holes_ms_per_step_fwd_bwd"] = float(
             f"{dt_lh * 1e3:.4g}")
     except Exception as e:
         extra["lattice_922k_holes_error"] = repr(e)[:200]
     try:
-        dt_dead = bench_922k_lattice_holes(ht, slope_time_scan,
-                                           keep_dead_nodes=True)
-        extra["lattice_922k_holes_dead_us_per_step_fwd_bwd"] = float(
-            f"{dt_dead * 1e6:.4g}")
+        # Reference-contract flavor (nodes renumbered after hole
+        # deletion, src/mesh.py:192-216): pays the one-N-row permutation
+        # fill each direction — kept measured so the gap stays visible.
+        dt_perm = bench_922k_lattice_holes(ht, slope_time_scan)
+        extra["lattice_922k_holes_perm_ms_per_step_fwd_bwd"] = float(
+            f"{dt_perm * 1e3:.4g}")
     except Exception as e:
-        extra["lattice_922k_holes_dead_error"] = repr(e)[:200]
+        extra["lattice_922k_holes_perm_error"] = repr(e)[:200]
     try:
         dt_hy, built = bench_hybrid_922k(ht, slope_time_scan)
         extra["hybrid_922k_us_per_step_fwd_bwd"] = float(
