@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandedAssembly", "build_banded_assembly", "rcm_node_order",
+__all__ = ["BandedAssembly", "build_banded_assembly",
+           "build_paired_assembly", "pair_connectivity", "rcm_node_order",
            "reorder_mesh"]
 
 # keep windows comfortably below the measured ~256K-row gather cliff
@@ -89,6 +90,12 @@ class BandedAssembly:
     wct: int = dataclasses.field(metadata=dict(static=True), default=0)
     re_wnode: int = dataclasses.field(metadata=dict(static=True), default=0)
     re_ew: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # vertex slots per assembly "element": 3 = triangles, 4 = edge-paired
+    # triangle pairs (slots (0,1,2) and (0,1,3) are the two triangles
+    # sharing edge (0,1); unmatched triangles ride as degenerate pairs
+    # with slot 3 repeating slot 0 — exactly-zero energy AND cotangent,
+    # same eps-guarded-det argument as the (0,0,0) padding convention).
+    k: int = dataclasses.field(metadata=dict(static=True), default=3)
 
     @property
     def n_element_blocks(self) -> int:
@@ -116,11 +123,12 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
     """
     conn = np.asarray(connectivity, dtype=np.int64)
     ne = conn.shape[0]
+    k = conn.shape[1] if conn.ndim == 2 else 3
     if ne == 0:
         return None
 
     from . import native
-    if native.available():
+    if native.available() and k == 3:
         t = native.banded_tables(connectivity, n_nodes,
                                  incidence, window_limit, block_multiple)
         if t is None:
@@ -143,9 +151,9 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
         # pad with a degenerate triple of the last element's first node:
         # zero contribution AND stays inside the last block's band (a
         # node-0 pad would widen that window to the whole mesh)
-        pad_row = np.full((pad, 3), conn[-1, 0], np.int64)
+        pad_row = np.full((pad, k), conn[-1, 0], np.int64)
         conn_p = np.concatenate([conn, pad_row]) if pad else conn
-        blocks = conn_p.reshape(b, eb, 3)
+        blocks = conn_p.reshape(b, eb, k)
         wmin = blocks.reshape(b, -1).min(axis=1)
         wmax = blocks.reshape(b, -1).max(axis=1)
         wsize = int((wmax - wmin + 1).max())
@@ -161,7 +169,7 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
     # ---- backward tables: node blocks -> cotangent windows
     inc = np.asarray(incidence, dtype=np.int64)      # [N, maxdeg], -1 pad
     n, maxdeg = inc.shape
-    n_ct_rows = ne * 3
+    n_ct_rows = ne * k
     bwd = None
     for bn in _BLOCK_CANDIDATES:
         if bn % block_multiple:
@@ -217,6 +225,7 @@ def build_banded_assembly(connectivity: np.ndarray, n_nodes: int,
         inc_rel=jnp.asarray(inc_rel),
         wnode=wnode,
         wct=wct,
+        k=k,
         **re_kwargs,
     )
 
@@ -232,6 +241,7 @@ def _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
     """
     n = inc.shape[0]
     maxdeg = inc.shape[1]
+    k = conn.shape[1]
     rmin = conn.min(axis=1)
     rmax = conn.max(axis=1)
     for br in _BLOCK_CANDIDATES:
@@ -243,14 +253,14 @@ def _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
             [inc, np.full((pad, maxdeg), -1, np.int64)]) if pad else inc
         blocks = inc_p.reshape(br, nb, maxdeg)
         valid = blocks >= 0
-        e_of = np.where(valid, blocks // 3, np.int64(-1))
+        e_of = np.where(valid, blocks // k, np.int64(-1))
         emin = np.where(valid, e_of, np.int64(ne)).reshape(br, -1).min(1)
         emax = e_of.reshape(br, -1).max(1)
         empty = emax < 0
         emin = np.where(empty, 0, emin)
         emax = np.where(empty, 0, emax)
         ew = int((emax - emin + 1).max())
-        if 3 * ew > window_limit:
+        if k * ew > window_limit:
             continue
         ew = min(ew, ne)
         estarts = np.minimum(emin, ne - ew).astype(np.int64)
@@ -263,8 +273,8 @@ def _build_recompute_tables(conn, inc, n_nodes, ne, window_limit,
         nstarts = np.minimum(nmin, n_nodes - wn).astype(np.int64)
         conn_win = np.stack([conn[s:s + ew] for s in estarts])
         conn_rel = (conn_win - nstarts[:, None, None]).astype(np.int32)
-        rel3 = blocks - 3 * estarts[:, None, None]
-        rel3 = np.where(valid, rel3, np.int64(3 * ew)).astype(np.int32)
+        rel3 = blocks - k * estarts[:, None, None]
+        rel3 = np.where(valid, rel3, np.int64(k * ew)).astype(np.int32)
         return (nstarts.astype(np.int32), estarts.astype(np.int32),
                 conn_rel, rel3, wn, ew)
     return None
@@ -291,6 +301,93 @@ def _ownership_intervals(estarts, ew, ne):
     if cur != ne:
         return None
     return ((lo - s).astype(np.int32), (hi - s).astype(np.int32))
+
+
+def pair_connectivity(connectivity: np.ndarray) -> Optional[np.ndarray]:
+    """Edge-pair triangles into 4-slot rows (greedy maximal matching).
+
+    Row layout: slots (0, 1) are the shared edge, (0, 1, 2) and
+    (0, 1, 3) are the two triangles.  Unmatched triangles (<1% on our
+    Delaunay/structured meshes) become degenerate pairs with slot 3
+    repeating slot 0 (zero second-triangle energy AND cotangent).  Rows
+    are sorted by min node so the banded windows keep their locality.
+
+    Rationale (measured, ``tools/microbench_quadpair.py``): TPU v5e
+    gathers are latency-bound PER ROW, so halving the corner/cotangent/
+    incidence rows is a full 2.0x on the unstructured vg chain at 65K
+    elements.  Returns None when fewer than half the triangles pair
+    (pairing would then mostly add filler slots).
+    """
+    conn = np.asarray(connectivity, dtype=np.int64)
+    ne = conn.shape[0]
+    if ne < 2 or conn.shape[1] != 3:
+        return None
+    edges = np.concatenate(
+        [conn[:, [0, 1]], conn[:, [1, 2]], conn[:, [2, 0]]], axis=0)
+    opp = np.concatenate([conn[:, 2], conn[:, 0], conn[:, 1]])
+    tri = np.tile(np.arange(ne), 3)
+    edges = np.sort(edges, axis=1)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    es, ts, os_ = edges[order], tri[order], opp[order]
+    shared = np.where((es[1:] == es[:-1]).all(axis=1))[0]
+    matched = np.zeros(ne, bool)
+    rows = []
+    for i in shared:
+        a, b = ts[i], ts[i + 1]
+        if matched[a] or matched[b]:
+            continue
+        matched[a] = matched[b] = True
+        rows.append((es[i, 0], es[i, 1], os_[i], os_[i + 1]))
+    if 2 * len(rows) < ne // 2:
+        return None
+    rest = conn[~matched]
+    paired = np.asarray(rows, np.int64).reshape(-1, 4)
+    if rest.size:
+        filler = np.concatenate([rest, rest[:, :1]], axis=1)
+        paired = np.concatenate([paired, filler], axis=0)
+    return paired[np.argsort(paired.min(axis=1), kind="stable")]
+
+
+def _incidence_k(conn: np.ndarray, n_nodes: int,
+                 skip_filler: bool = True) -> np.ndarray:
+    """[N, maxdeg] incidence into the flat [Nq*k] cotangent rows, -1
+    padded (the builder's convention).  Filler slots (slot 3 == slot 0,
+    see ``pair_connectivity``) are excluded: their cotangent is exactly
+    zero, so skipping them only removes wasted gather rows."""
+    nq, k = conn.shape
+    nodes = conn.reshape(-1)
+    rows = np.arange(nodes.size, dtype=np.int64)
+    keep = np.ones(nodes.size, bool)
+    if skip_filler and k == 4:
+        keep[3::4] = conn[:, 3] != conn[:, 0]
+    nodes, rows = nodes[keep], rows[keep]
+    counts = np.bincount(nodes, minlength=n_nodes)
+    maxdeg = max(int(counts.max()), 1)
+    starts = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    order = np.argsort(nodes, kind="stable")
+    fn, rr = nodes[order], rows[order]
+    rank = np.arange(fn.size) - starts[fn]
+    inc = np.full((n_nodes, maxdeg), -1, np.int64)
+    inc[fn, rank] = rr
+    return inc
+
+
+def build_paired_assembly(connectivity: np.ndarray, n_nodes: int,
+                          window_limit: int = WINDOW_LIMIT,
+                          block_multiple: int = 1
+                          ) -> Optional[BandedAssembly]:
+    """Quad-paired BandedAssembly (``k=4``), or None when the mesh
+    doesn't pair / band.  Same table semantics as the triangle tables;
+    ``ops/banded_energy.py`` dispatches the two-triangle kernels on
+    ``k``."""
+    paired = pair_connectivity(connectivity)
+    if paired is None:
+        return None
+    inc = _incidence_k(paired, n_nodes)
+    return build_banded_assembly(paired, n_nodes, inc,
+                                 window_limit=window_limit,
+                                 block_multiple=block_multiple)
 
 
 def reorder_mesh(mesh, build_banded="auto"):

@@ -81,6 +81,15 @@ class TriMesh:
     # (mesh/banded.py): keeps every assembly gather below the TPU's
     # ~256K-row table cliff.  Auto-built by from_arrays for big meshes.
     banded: Optional[object] = None
+    # Optional quad-paired blocked-window tables (mesh/banded.py:
+    # build_paired_assembly, k=4): edge-adjacent triangles share 4
+    # gather/cotangent rows instead of 6 and incidence degree drops,
+    # which on the per-row-latency-bound v5e gathers is a measured 2.0x
+    # on the unstructured vg chain (tools/microbench_quadpair.py).  The
+    # Pallas banded route prefers these tables when present; the
+    # triangle tables stay for the XLA fallback and the element-sharded
+    # paths.  Disable with build_banded="nopair" or HDNN_NO_PAIR=1.
+    banded_paired: Optional[object] = None
     # Optional fused domain+edge tables (ops/pallas_energy.py 13-row
     # kernel): connectivity with Neumann edges appended as (n0, n1, n1)
     # pseudo-elements, and the incidence table over THAT augmented flat
@@ -146,14 +155,19 @@ class TriMesh:
         inc_np = (build_incidence_table(conn_np, n)
                   if build_incidence and conn_np.size else None)
 
-        banded = None
-        want_banded = (build_banded is True or (
+        banded = banded_paired = None
+        want_banded = (build_banded in (True, "nopair") or (
             build_banded == "auto"
             and conn_np.size
             and max(n, 3 * conn_np.shape[0]) > 250_000))
         if want_banded and inc_np is not None:
             from .banded import build_banded_assembly
             banded = build_banded_assembly(conn_np, n, inc_np)
+            import os
+            if (banded is not None and build_banded != "nopair"
+                    and not os.environ.get("HDNN_NO_PAIR")):
+                from .banded import build_paired_assembly
+                banded_paired = build_paired_assembly(conn_np, n)
 
         edges_np = np.asarray(neumann_edges)
         lattice = None
@@ -181,6 +195,7 @@ class TriMesh:
                                       dtype=jnp.int32),
             incidence=jnp.asarray(inc_np) if inc_np is not None else None,
             banded=banded,
+            banded_paired=banded_paired,
             fused_connectivity=(jnp.asarray(fused_conn)
                                 if fused_conn is not None else None),
             fused_incidence=(jnp.asarray(fused_inc)

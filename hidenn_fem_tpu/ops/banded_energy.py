@@ -47,11 +47,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_energy import _block_energy, _block_energy_lanes, ROWS
+from .pallas_energy import _block_energy_lanes, ROWS
 
 __all__ = ["banded_element_energy"]
 
 _BLK = 2048  # pallas lane-block within an element block
+
+
+def _lanes_any(g, E, nu, w_sum):
+    """Per-column element energies for either row layout: 12 rows =
+    triangles; 16 rows = edge-paired triangle pairs (``mesh/banded.py:
+    pair_connectivity`` — slots (0,1,2) and (0,1,3) are the two
+    triangles, degenerate filler slots contribute exactly zero via the
+    eps-guarded det)."""
+    if g.shape[0] == ROWS:
+        return _block_energy_lanes(g, E, nu, w_sum)
+    t1 = _block_energy_lanes(g[:12], E, nu, w_sum)
+    g2 = jnp.concatenate([g[:8], g[12:16]], axis=0)
+    return t1 + _block_energy_lanes(g2, E, nu, w_sum)
 
 
 def _fwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
@@ -59,12 +72,12 @@ def _fwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
     def _():
         out_ref[0, 0] = jnp.zeros((), out_ref.dtype)
 
-    out_ref[0, 0] += _block_energy(g_ref[...], E, nu, w_sum)
+    out_ref[0, 0] += jnp.sum(_lanes_any(g_ref[...], E, nu, w_sum))
 
 
 def _bwd_kernel(g_ref, out_ref, *, E, nu, w_sum):
     out_ref[...] = jax.grad(
-        lambda g: _block_energy(g, E, nu, w_sum))(g_ref[...])
+        lambda g: jnp.sum(_lanes_any(g, E, nu, w_sum)))(g_ref[...])
 
 
 def _vg_kernel(own_ref, g_ref, e_ref, ct_ref, *, E, nu, w_sum):
@@ -87,7 +100,7 @@ def _vg_kernel(own_ref, g_ref, e_ref, ct_ref, *, E, nu, w_sum):
     # vjp (not grad-of-sum) so the energy pipeline is traced ONCE and its
     # residuals feed both the masked value and the cotangents
     lanes, vjp_fn = jax.vjp(
-        lambda gg: _block_energy_lanes(gg, E, nu, w_sum), g)
+        lambda gg: _lanes_any(gg, E, nu, w_sum), g)
     e_ref[0, 0] += jnp.sum(jnp.where(owned, lanes, 0.0))
     ct_ref[...] = vjp_fn(jnp.ones_like(lanes))[0]
 
@@ -97,7 +110,7 @@ def _pallas_fwd(gT, E, nu, w_sum, interpret):
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, E=E, nu=nu, w_sum=w_sum),
         grid=(nb,),
-        in_specs=[pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((gT.shape[0], _BLK), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -117,13 +130,13 @@ def _pallas_vg(gT, own, E, nu, w_sum, interpret):
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+            pl.BlockSpec((gT.shape[0], _BLK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+            pl.BlockSpec((gT.shape[0], _BLK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -140,9 +153,9 @@ def _pallas_bwd(gT, E, nu, w_sum, interpret):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, E=E, nu=nu, w_sum=w_sum),
         grid=(nb,),
-        in_specs=[pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((gT.shape[0], _BLK), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((ROWS, _BLK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((gT.shape[0], _BLK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(gT.shape, gT.dtype),
         interpret=interpret,
@@ -150,14 +163,15 @@ def _pallas_bwd(gT, E, nu, w_sum, interpret):
 
 
 def _gather_block_T(node, rel, start, wnode):
-    """Window-slice + flat gather + [12, EBpad] lane-major layout."""
+    """Window-slice + flat gather + [k*F, EBpad] lane-major layout
+    (12 rows for triangles, 16 for quad pairs)."""
     f = node.shape[-1]
     win = jax.lax.dynamic_slice(node, (start, 0), (wnode, f))
-    g12 = win[rel.reshape(-1)].reshape(-1, ROWS)      # [EB, 12]
+    g12 = win[rel.reshape(-1)].reshape(-1, rel.shape[-1] * f)
     pad = (-g12.shape[0]) % _BLK
     if pad:
         g12 = jnp.pad(g12, ((0, pad), (0, 0)))
-    return g12.T                                       # [12, EBpad]
+    return g12.T                                       # [k*F, EBpad]
 
 
 def _cot_rows(cotT, ew, f):
@@ -172,9 +186,10 @@ def _cot_rows(cotT, ew, f):
     table and serializes the backward gather behind it — measured
     20.4 -> 17.6 ms/step at 922K elements.
     """
+    kk = cotT.shape[0] // f                # 3 triangles, 4 quad pairs
     if ew % _BLK:
-        return cotT.T.reshape(-1, f)       # [EWp*3, F]; rows >= 3*ew zero
-    cot3 = cotT.T[:ew].reshape(ew * 3, f)
+        return cotT.T.reshape(-1, f)       # [EWp*k, F]; rows >= k*ew zero
+    cot3 = cotT.T[:ew].reshape(ew * kk, f)
     return jnp.concatenate([cot3, jnp.zeros((1, f), cot3.dtype)], axis=0)
 
 
@@ -289,7 +304,8 @@ def _two_pass_bwd(node, ba, E, nu, w_sum, interpret, ct):
         rel, s = inp
         gT = _gather_block_T(node, rel, s, wnode)
         cotT = _pallas_bwd(gT, E, nu, w_sum, interpret)  # [12, EBpad]
-        return None, cotT.T[:eb].reshape(eb * 3, f)      # [EB*3, F]
+        kk = cotT.shape[0] // f
+        return None, cotT.T[:eb].reshape(eb * kk, f)     # [EB*k, F]
 
     _, ct_blocks = jax.lax.scan(body1, None,
                                 (ba.conn_rel, ba.starts))

@@ -276,8 +276,14 @@ class PlaneStressEnergy:
                 # 36.7 ms fwd+bwd at 922K elements (measured round 2), so
                 # it is now the auto backend whenever banded tables exist.
                 from .banded_energy import banded_element_energy
+                # quad-paired tables when available: same physics from
+                # ~2/3 of the gather rows and lower incidence degree —
+                # measured 2.0x on the vg chain (mesh/banded.py:
+                # pair_connectivity)
+                ba = (mesh.banded_paired if mesh.banded_paired is not None
+                      else mesh.banded)
                 return banded_element_energy(
-                    node, mesh.banded, float(E), float(nu),
+                    node, ba, float(E), float(nu),
                     quad.triangle_weight_sum(self.gauss_order),
                     backend0 == "pallas_interpret")
             if mesh.banded is not None:
