@@ -115,8 +115,10 @@ def shard_mesh(tri: TriMesh, dmesh: Mesh, axis: str = ELEM_AXIS) -> TriMesh:
     """
     tri = dataclasses.replace(pad_mesh(tri, dmesh.devices.size),
                               incidence=None, banded=None,
+                              banded_paired=None,
                               fused_connectivity=None,
-                              fused_incidence=None, lattice=None)
+                              fused_incidence=None, lattice=None,
+                              hybrid=None)
     shardings = mesh_shardings(dmesh, axis)
     return jax.tree.map(jax.device_put, tri, shardings)
 
@@ -157,9 +159,10 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
         # scatter-AD + psum path owns gradient reduction under sharding
         return fn(params, dataclasses.replace(tri, incidence=None,
                                               banded=None,
+                                              banded_paired=None,
                                               fused_connectivity=None,
                                               fused_incidence=None,
-                                              lattice=None))
+                                              lattice=None, hybrid=None))
 
     return loss_fn
 

@@ -66,6 +66,34 @@ def test_gspmd_sharded_energy_matches(setup, eight_devices):
                                    rtol=2e-4, atol=1e-10)
 
 
+def test_shard_mesh_clears_derived_tables(setup, eight_devices):
+    """Regression (r4 advisor, high): a mesh carrying banded + paired
+    (+ hybrid) tables — what from_arrays auto-builds for every big mesh —
+    must shard cleanly; shard_mesh strips every derived single-device
+    table so the sharded pytree matches mesh_shardings' spec."""
+    mesh, tp1, params, energy = setup
+    forced = ht.TriMesh.from_arrays(
+        np.asarray(mesh.coords), np.asarray(mesh.connectivity),
+        np.asarray(mesh.geom_boundary_mask),
+        np.asarray(mesh.dirichlet_mask), np.asarray(mesh.neumann_mask),
+        np.asarray(mesh.neumann_edges), build_banded=True)
+    assert forced.banded is not None
+    assert forced.banded_paired is not None  # the r4 crash precondition
+    dmesh = sh.device_mesh(8)
+    smesh = sh.shard_mesh(forced, dmesh)     # raised ValueError before fix
+    for f in ("incidence", "banded", "banded_paired", "lattice", "hybrid",
+              "fused_connectivity", "fused_incidence"):
+        assert getattr(smesh, f) is None, f
+    sparams = sh.replicate(params, dmesh)
+    e_sharded = float(jax.jit(lambda p: energy(p, smesh))(sparams))
+    assert np.isclose(float(energy(params, mesh)), e_sharded, rtol=1e-5)
+    # shard_map_energy must likewise strip them inside loss_fn
+    padded = sh.pad_mesh(forced, 8)
+    loss_fn = sh.shard_map_energy(energy, dmesh)
+    e2 = float(jax.jit(loss_fn)(params, padded))
+    assert np.isclose(float(energy(params, mesh)), e2, rtol=1e-5)
+
+
 def test_shard_map_energy_matches(setup, eight_devices):
     mesh, tp1, params, energy = setup
     dmesh = sh.device_mesh(8)
