@@ -330,22 +330,56 @@ def pair_connectivity(connectivity: np.ndarray) -> Optional[np.ndarray]:
     order = np.lexsort((edges[:, 1], edges[:, 0]))
     es, ts, os_ = edges[order], tri[order], opp[order]
     shared = np.where((es[1:] == es[:-1]).all(axis=1))[0]
-    matched = np.zeros(ne, bool)
-    rows = []
-    for i in shared:
-        a, b = ts[i], ts[i + 1]
-        if matched[a] or matched[b]:
-            continue
-        matched[a] = matched[b] = True
-        rows.append((es[i, 0], es[i, 1], os_[i], os_[i + 1]))
-    if 2 * len(rows) < ne // 2:
+    accept, matched = _greedy_match(ts[shared], ts[shared + 1], ne)
+    if 2 * int(accept.sum()) < ne // 2:
         return None
+    i = shared[accept]
+    paired = np.stack([es[i, 0], es[i, 1], os_[i], os_[i + 1]], axis=1)
     rest = conn[~matched]
-    paired = np.asarray(rows, np.int64).reshape(-1, 4)
     if rest.size:
         filler = np.concatenate([rest, rest[:, :1]], axis=1)
         paired = np.concatenate([paired, filler], axis=0)
     return paired[np.argsort(paired.min(axis=1), kind="stable")]
+
+
+def _greedy_match(a_all: np.ndarray, b_all: np.ndarray, ne: int):
+    """Vectorized greedy maximal matching over ordered candidate pairs.
+
+    Computes EXACTLY the sequential first-come matching (accept candidate
+    i iff neither endpoint was claimed by a lower-ranked accepted
+    candidate) by conflict-resolution rounds: each round accepts every
+    still-alive candidate that is the minimum-ranked alive candidate at
+    BOTH its endpoints, then drops candidates with a newly-matched
+    endpoint.  A candidate wins in round k exactly when all lower-ranked
+    conflicting candidates have been decided, so the accept set equals
+    the sequential loop's (tested).  Rounds are O(log) in practice
+    (3-5 on our meshes); each is a few numpy passes — 2.1 s -> ~0.1 s at
+    922K elements, 15.8 s -> ~0.6 s at 3.7M on this host.
+
+    Returns (accept [n_cand] bool, matched [ne] bool).
+    """
+    n_cand = a_all.shape[0]
+    accept = np.zeros(n_cand, bool)
+    matched = np.zeros(ne, bool)
+    alive = np.ones(n_cand, bool)
+    while True:
+        idx = np.nonzero(alive)[0]
+        if idx.size == 0:
+            break
+        a, b = a_all[idx], b_all[idx]
+        minr = np.full(ne, n_cand, np.int64)
+        np.minimum.at(minr, a, idx)
+        np.minimum.at(minr, b, idx)
+        win = (minr[a] == idx) & (minr[b] == idx)
+        wi = idx[win]
+        accept[wi] = True
+        matched[a_all[wi]] = True
+        matched[b_all[wi]] = True
+        rem = idx[~win]
+        alive[idx] = False
+        keep = ~matched[a_all[rem]] & ~matched[b_all[rem]]
+        alive[rem[keep]] = True
+    return accept, matched
 
 
 def _incidence_k(conn: np.ndarray, n_nodes: int,

@@ -86,9 +86,11 @@ class TriMesh:
     # gather/cotangent rows instead of 6 and incidence degree drops,
     # which on the per-row-latency-bound v5e gathers is a measured 2.0x
     # on the unstructured vg chain (tools/microbench_quadpair.py).  The
-    # Pallas banded route prefers these tables when present; the
-    # triangle tables stay for the XLA fallback and the element-sharded
-    # paths.  Disable with build_banded="nopair" or HDNN_NO_PAIR=1.
+    # Pallas banded route AND shard_map_banded_energy prefer these
+    # tables when present (reband_for_shards rebuilds them with the
+    # device-count block multiple); the triangle tables stay for the
+    # XLA fallback.  Disable with build_banded="nopair" or
+    # HDNN_NO_PAIR=1.  Tests: tests/test_paired_banded.py.
     banded_paired: Optional[object] = None
     # Optional fused domain+edge tables (ops/pallas_energy.py 13-row
     # kernel): connectivity with Neumann edges appended as (n0, n1, n1)

@@ -168,25 +168,41 @@ def shard_map_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
 
 
 def reband_for_shards(tri: TriMesh, n_shards: int,
-                      window_limit: Optional[int] = None) -> TriMesh:
+                      window_limit: Optional[int] = None,
+                      pair: bool = True) -> TriMesh:
     """Rebuild a TriMesh's banded tables with block counts divisible by
     ``n_shards`` so ``shard_map_banded_energy`` can hand each device a
-    contiguous slice of element/node blocks."""
-    from ..mesh.banded import build_banded_assembly, WINDOW_LIMIT
+    contiguous slice of element/node blocks.
+
+    ``pair=True`` (default) also rebuilds the quad-paired tables
+    (``mesh/banded.py:build_paired_assembly``) with the same block
+    multiple, so the sharded path runs the SAME table layout as the
+    single-device production route (the measured ~1.56x pairing win at
+    922K carries over per device).  Set False — or export HDNN_NO_PAIR —
+    to shard the triangle tables only."""
+    import os
+    from ..mesh.banded import (build_banded_assembly,
+                               build_paired_assembly, WINDOW_LIMIT)
     from ..mesh.types import build_incidence_table
 
     conn = np.asarray(tri.connectivity)
     inc = (np.asarray(tri.incidence) if tri.incidence is not None
            else build_incidence_table(conn, tri.n_nodes))
-    ba = build_banded_assembly(
-        conn, tri.n_nodes, inc,
-        window_limit=window_limit or WINDOW_LIMIT,
-        block_multiple=n_shards)
+    wl = window_limit or WINDOW_LIMIT
+    ba = build_banded_assembly(conn, tri.n_nodes, inc,
+                               window_limit=wl, block_multiple=n_shards)
     if ba is None or ba.re_conn_rel is None:
         raise ValueError(
             f"mesh not bandable with block counts divisible by {n_shards} "
             "(try reorder_mesh or a larger window_limit)")
-    return dataclasses.replace(tri, banded=ba)
+    paired = None
+    if pair and not os.environ.get("HDNN_NO_PAIR"):
+        paired = build_paired_assembly(conn, tri.n_nodes,
+                                       window_limit=wl,
+                                       block_multiple=n_shards)
+        if paired is not None and paired.re_conn_rel is None:
+            paired = None
+    return dataclasses.replace(tri, banded=ba, banded_paired=paired)
 
 
 def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
@@ -213,7 +229,10 @@ def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
     D = dmesh.devices.size
 
     def loss_fn(params, tri):
-        ba = tri.banded
+        # same preference order as the single-device route
+        # (ops/losses.py): quad-paired tables when present
+        ba = (tri.banded_paired if tri.banded_paired is not None
+              else tri.banded)
         if ba is None or ba.re_conn_rel is None:
             raise ValueError("mesh has no recompute banded tables; "
                              "build with reband_for_shards")

@@ -1,0 +1,89 @@
+"""On-chip with/without-pairing A/B on the PRODUCTION banded route.
+
+VERDICT r4 #1c: the quad-paired tables (``mesh/banded.py:
+build_paired_assembly``) are default-on for every big unstructured mesh,
+but the landed win (18.2 -> 11.69 ms/step at 922K, BENCH_r04) was never
+isolated from other round-4 changes.  This harness measures the SAME
+mesh / params / energy through both table layouts, equality-checks the
+values and gradients first, then slope-times the full value_and_grad
+chain — so the delta is the pairing and nothing else.
+
+Also reports the row model's accounting (gather + cotangent + incidence
+rows per layout) next to the measured ratio, to explain realized-vs-
+projected (the 65K matched-apparatus measurement was 2.0x;
+``tools/microbench_quadpair.py``).
+
+Run (real chip): ``python -m tools.microbench_pairab [nx ny]``.
+"""
+import dataclasses
+import sys
+
+import jax
+import numpy as np
+
+import hidenn_fem_tpu as ht
+from hidenn_fem_tpu.utils.profiling import slope_time_scan
+
+
+def row_census(ba, n_nodes):
+    """Rows the vg chain touches per step for one table layout: the
+    recompute path's element-window gather rows (k rows per window
+    element, halos included) + incidence gather rows."""
+    ew_rows = ba.re_conn_rel.size            # window corner gathers
+    inc_rows = ba.re_inc_rel.size            # cotangent incidence gathers
+    return ew_rows, inc_rows
+
+
+def main():
+    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 961
+    ny = int(sys.argv[2]) if len(sys.argv) > 2 else 481
+    mesh = ht.proxy_plate_mesh(nx=nx, ny=ny)
+    mesh = dataclasses.replace(mesh, lattice=None)   # banded route only
+    assert mesh.banded is not None and mesh.banded_paired is not None
+    ne = mesh.n_elements
+    print(f"mesh {nx}x{ny}: {ne} elements, {mesh.n_nodes} nodes",
+          flush=True)
+
+    model = ht.TriangleP1()
+    params = model.init(jax.random.PRNGKey(0), mesh)
+    params["u"] = 1e-4 * jax.random.normal(jax.random.PRNGKey(1),
+                                           params["u"].shape)
+    energy = ht.PlaneStressEnergy(model=model, E=10e9, nu=0.3)
+
+    paired = mesh
+    nopair = dataclasses.replace(mesh, banded_paired=None)
+
+    # equality first (never time an unchecked variant)
+    vg = jax.jit(jax.value_and_grad(
+        lambda p, m: energy.domain_energy(p, m)))
+    v1, g1 = vg(params, paired)
+    v2, g2 = vg(params, nopair)
+    assert np.isclose(float(v1), float(v2), rtol=1e-5), (v1, v2)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        np.testing.assert_allclose(a, b, rtol=5e-4,
+                                   atol=1e-5 * np.abs(b).max())
+    print("equality: paired == triangle (value + grads)", flush=True)
+
+    def step(p, m):
+        val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
+        p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
+        return p, val
+
+    results = {}
+    for tag, m in (("paired(k=4)", paired), ("triangle(k=3)", nopair)):
+        dt = slope_time_scan(step, params, n1=10, n2=110, args=(m,))
+        results[tag] = dt
+        print(f"{tag:>14}: {dt * 1e3:7.3f} ms/step fwd+bwd", flush=True)
+
+    r = results["triangle(k=3)"] / results["paired(k=4)"]
+    ew_p, inc_p = row_census(mesh.banded_paired, mesh.n_nodes)
+    ew_t, inc_t = row_census(mesh.banded, mesh.n_nodes)
+    rows_p, rows_t = ew_p + inc_p, ew_t + inc_t
+    print(f"speedup: {r:.3f}x  (row model: {rows_t}/{rows_p} = "
+          f"{rows_t / rows_p:.3f}x; corner rows {ew_t}->{ew_p}, "
+          f"incidence rows {inc_t}->{inc_p})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
