@@ -197,9 +197,10 @@ def generate_mesh_delaunay(
     each element block's node window across the whole table, which
     defeats the blocked-window assembly (measured 47.9 ms/step vs ~20
     banded at 900K elements on v5e); RCM restores the locality the
-    structured generator gets for free (measured with it: 18.3 ms/step
-    fwd+bwd at 898K elements, matching the proxy-mesh banded row; aux
-    -space PCG solve 22 iters / 0.93 s warm — tools/microbench_delaunay).
+    structured generator gets for free (measured with it: 12.96 ms/step
+    fwd+bwd at 898K elements with quad-paired tables, matching the
+    proxy-mesh banded row; aux-space PCG solve 21 iters / 0.787 s warm
+    — tools/microbench_delaunay).
     Disable only to inspect the raw ordering.
     """
     if boundaries is None:
@@ -247,9 +248,9 @@ def generate_mesh_delaunay(
 
 def generate_mesh_unstructured(*args, prefer_hybrid: bool = True,
                                **kwargs) -> TriMesh:
-    """gmsh when installed, else the hybrid lattice+collar generator
-    when the geometry qualifies, else the native Delaunay backend —
-    one entry point for reference users migrating ``generate_mesh_gmsh``
+    """The hybrid lattice+collar generator when the geometry qualifies,
+    else gmsh when installed, else the native Delaunay backend — one
+    entry point for reference users migrating ``generate_mesh_gmsh``
     call sites.
 
     The auto-hybridization (``prefer_hybrid=True``, VERDICT r3 #1c):
@@ -259,12 +260,12 @@ def generate_mesh_unstructured(*args, prefer_hybrid: bool = True,
     conforming triangulation of the same geometry with EXACT circular
     rims — whose energy evaluates on the lattice fast path instead of
     the banded gather path (~0.4 ms vs ~18 ms per step at ~900K
-    elements on v5e; ``PARITY.md``).  Callable size fields, holes too
-    close to the boundary, or ``prefer_hybrid=False`` fall back to
-    the genuinely-irregular Delaunay mesh."""
-    from .gmsh_backend import have_gmsh, generate_mesh_gmsh
-    if have_gmsh():
-        return generate_mesh_gmsh(*args, **kwargs)
+    elements on v5e; ``PARITY.md``).  Hybridization takes precedence
+    over gmsh (VERDICT r4 #5): a qualifying call gets the fast path
+    whether or not gmsh is installed; pass ``prefer_hybrid=False`` to
+    force the general backends (gmsh if installed, else Delaunay).
+    Callable size fields and holes too close to the boundary never
+    qualify and always take the general backends."""
     if prefer_hybrid and not args and not callable(kwargs.get("lc", 0.1)):
         from .hybrid import generate_mesh_hybrid
         allowed = {"length", "height", "holes", "boundaries", "lc"}
@@ -272,5 +273,8 @@ def generate_mesh_unstructured(*args, prefer_hybrid: bool = True,
             try:
                 return generate_mesh_hybrid(**kwargs)
             except ValueError:
-                pass          # hole reaches the boundary ring: Delaunay
+                pass      # hole reaches the boundary ring: general path
+    from .gmsh_backend import have_gmsh, generate_mesh_gmsh
+    if have_gmsh():
+        return generate_mesh_gmsh(*args, **kwargs)
     return generate_mesh_delaunay(*args, **kwargs)

@@ -242,3 +242,27 @@ def test_generate_mesh_gmsh_energy_matches_structured(fake_gmsh):
     v_g = float(energy(gp, gmesh))
     v_s = float(energy(sp, smesh))
     assert np.isclose(v_g, v_s, rtol=1e-6), (v_g, v_s)
+
+
+def test_hybrid_precedence_over_gmsh(fake_gmsh):
+    """VERDICT r4 #5: qualifying geometry hybridizes EVEN WHEN gmsh is
+    installed — ``generate_mesh_unstructured`` checks the hybrid
+    generator first, so production plate-with-holes calls get the
+    lattice fast path regardless of the environment.  The escape hatch
+    ``prefer_hybrid=False`` routes to gmsh (the fake here)."""
+    from hidenn_fem_tpu.mesh.delaunay import generate_mesh_unstructured
+    from hidenn_fem_tpu.mesh.gmsh_backend import have_gmsh
+
+    assert have_gmsh()          # fixture installed the fake module
+
+    holes = ((1.0, 0.5, 0.25),)
+    m = generate_mesh_unstructured(holes=holes, lc=0.1)
+    assert m.hybrid is not None                 # hybridized, gmsh unused
+    assert not any(c[0] == "initialize" for c in fake_gmsh.calls)
+
+    m2 = generate_mesh_unstructured(length=2.0, height=1.0, holes=(),
+                                    boundaries={"up": 0, "down": 0,
+                                                "right": 2, "left": 1},
+                                    lc=0.25, prefer_hybrid=False)
+    assert getattr(m2, "hybrid", None) is None  # forced to gmsh
+    assert any(c[0] == "initialize" for c in fake_gmsh.calls)
