@@ -281,12 +281,18 @@ def bench_plate_solve(ht):
         return float(losses[-1])
 
     run()                                   # compile + first run
-    best = float("inf")
-    for _ in range(2):
+    # Jitter protocol (VERDICT r4 #7): the whole solve is one on-device
+    # program, but the host-side wall clock rides the axon tunnel whose
+    # RTT wanders by +-10% run to run (the unexplained r4 0.0697->0.0767
+    # "regression" was exactly this).  Report best-of-3 as the number —
+    # the repeatable device cost — and the spread so a real regression
+    # is distinguishable from tunnel noise.
+    times = []
+    for _ in range(3):
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), max(times) - min(times)
 
 
 def bench_mg_solve(ht):
@@ -312,12 +318,12 @@ def bench_mg_solve(ht):
         h = np.asarray(hist)
         assert h[h > 0][-1] <= 1e-6
     run()
-    best = float("inf")
-    for _ in range(3):
+    times = []
+    for _ in range(3):                     # same protocol as plate solve
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), max(times) - min(times)
 
 
 def _guard_device_init(timeout_s: int = 900):
@@ -376,9 +382,12 @@ def main():
         # README guidance) generate hole meshes with keep_dead_nodes=True
         # (identity lattice numbering, zero-gather route) — this row is
         # what a user of the framework actually pays per step.
+        # (key renamed from lattice_922k_holes_ms_per_step_fwd_bwd in r5:
+        # that key measured the perm flavor through r3 and this flavor in
+        # r4 — two different routes must not share a historical key)
         dt_lh = bench_922k_lattice_holes(ht, slope_time_scan,
                                          keep_dead_nodes=True)
-        extra["lattice_922k_holes_ms_per_step_fwd_bwd"] = float(
+        extra["lattice_922k_holes_dead_ms_per_step_fwd_bwd"] = float(
             f"{dt_lh * 1e3:.4g}")
     except Exception as e:
         extra["lattice_922k_holes_error"] = repr(e)[:200]
@@ -405,8 +414,9 @@ def main():
     except Exception as e:
         extra["hybrid_922k_error"] = repr(e)[:200]
     try:
-        extra["plate_lbfgs600_warm_s"] = float(
-            f"{bench_plate_solve(ht):.4g}")
+        best, spread = bench_plate_solve(ht)
+        extra["plate_lbfgs600_warm_s"] = float(f"{best:.4g}")
+        extra["plate_lbfgs600_warm_s_spread"] = float(f"{spread:.4g}")
     except Exception as e:
         extra["plate_lbfgs600_error"] = repr(e)[:200]
     try:
@@ -424,8 +434,9 @@ def main():
     except Exception as e:
         extra["structured_922k_error"] = repr(e)[:200]
     try:
-        extra["mg_481x241_solve_warm_s"] = float(
-            f"{bench_mg_solve(ht):.4g}")
+        best, spread = bench_mg_solve(ht)
+        extra["mg_481x241_solve_warm_s"] = float(f"{best:.4g}")
+        extra["mg_481x241_solve_warm_s_spread"] = float(f"{spread:.4g}")
     except Exception as e:
         extra["mg_481x241_error"] = repr(e)[:200]
 
