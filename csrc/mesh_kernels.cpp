@@ -163,6 +163,32 @@ int hdnn_greedy_color(const int32_t* conn, int64_t ne, int64_t n_nodes,
   return 0;
 }
 
+// Sequential first-come greedy maximal matching over ordered candidate
+// endpoint pairs (a[i], b[i]): accept candidate i iff neither endpoint
+// was claimed by a lower-ranked accepted candidate.  Rank order IS the
+// quality lever (edge-lexsort order pairs ~100% of structured and ~97%
+// of Delaunay triangles — see mesh/banded.py:pair_connectivity);
+// sequential execution is O(n) and immune to the rank-monotone conflict
+// chains that make the vectorized conflict-resolution formulation
+// O(chain length) rounds (~1,400 at 922K structured, measured).
+//   a, b     [n_cand] int64 candidate endpoints (element ids < ne)
+//   accept   [n_cand] uint8 out
+//   matched  [ne] uint8 out (must be zero-initialized by the caller)
+int hdnn_greedy_match(const int64_t* a, const int64_t* b, int64_t n_cand,
+                      int64_t ne, uint8_t* accept, uint8_t* matched) {
+  for (int64_t i = 0; i < n_cand; ++i) {
+    const int64_t u = a[i], v = b[i];
+    if (u < 0 || v < 0 || u >= ne || v >= ne) return 1;
+    if (matched[u] || matched[v]) {
+      accept[i] = 0;
+    } else {
+      matched[u] = matched[v] = 1;
+      accept[i] = 1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BandedAssembly", "build_banded_assembly",
-           "build_paired_assembly", "pair_connectivity", "rcm_node_order",
+           "build_paired_assembly", "build_striped_assembly",
+           "pair_connectivity", "strip_connectivity", "rcm_node_order",
            "reorder_mesh"]
 
 # keep windows comfortably below the measured ~256K-row gather cliff
@@ -343,47 +344,155 @@ def pair_connectivity(connectivity: np.ndarray) -> Optional[np.ndarray]:
 
 
 def _greedy_match(a_all: np.ndarray, b_all: np.ndarray, ne: int):
-    """Vectorized greedy maximal matching over ordered candidate pairs.
+    """Sequential first-come greedy maximal matching over ordered
+    candidate endpoint pairs: accept candidate i iff neither endpoint
+    was claimed by a lower-ranked accepted candidate.
 
-    Computes EXACTLY the sequential first-come matching (accept candidate
-    i iff neither endpoint was claimed by a lower-ranked accepted
-    candidate) by conflict-resolution rounds: each round accepts every
-    still-alive candidate that is the minimum-ranked alive candidate at
-    BOTH its endpoints, then drops candidates with a newly-matched
-    endpoint.  A candidate wins in round k exactly when all lower-ranked
-    conflicting candidates have been decided, so the accept set equals
-    the sequential loop's (tested).  Rounds are O(log) in practice
-    (3-5 on our meshes); each is a few numpy passes — 2.1 s -> ~0.1 s at
-    922K elements, 15.8 s -> ~0.6 s at 3.7M on this host.
+    The rank order is the QUALITY lever: edge-lexsort order pairs ~100%
+    of structured and ~97% of Delaunay triangles, where a random order
+    leaves ~12% unmatched (measured r5).  Two implementations of the
+    identical semantics (parity-tested): the native C++ loop
+    (``csrc/mesh_kernels.cpp:hdnn_greedy_match``, ~10 ms at 1.4M
+    candidates) and the numpy/Python fallback below (~1-2 s at 922K).
+    A vectorized conflict-resolution formulation was tried r5 and
+    REMOVED: its round count is the longest rank-monotone conflict
+    chain, and lexsorted candidates chain along mesh rows (~1,400
+    rounds / 36 s at 922K structured — slower than the plain loop).
 
     Returns (accept [n_cand] bool, matched [ne] bool).
     """
+    from . import native
+    if native.available():
+        return native.greedy_match(a_all, b_all, ne)
     n_cand = a_all.shape[0]
     accept = np.zeros(n_cand, bool)
     matched = np.zeros(ne, bool)
-    alive = np.ones(n_cand, bool)
-    while True:
-        idx = np.nonzero(alive)[0]
-        if idx.size == 0:
-            break
-        a, b = a_all[idx], b_all[idx]
-        minr = np.full(ne, n_cand, np.int64)
-        np.minimum.at(minr, a, idx)
-        np.minimum.at(minr, b, idx)
-        win = (minr[a] == idx) & (minr[b] == idx)
-        wi = idx[win]
-        accept[wi] = True
-        matched[a_all[wi]] = True
-        matched[b_all[wi]] = True
-        rem = idx[~win]
-        alive[idx] = False
-        keep = ~matched[a_all[rem]] & ~matched[b_all[rem]]
-        alive[rem[keep]] = True
+    for i in range(n_cand):
+        a, b = a_all[i], b_all[i]
+        if matched[a] or matched[b]:
+            continue
+        matched[a] = matched[b] = True
+        accept[i] = True
     return accept, matched
 
 
+def strip_connectivity(connectivity: np.ndarray):
+    """Merge edge-paired triangle pairs into 6-node 4-triangle strips.
+
+    Row layout: sliding triples — triangle ``i`` of a row is slots
+    ``(i, i+1, i+2)``, i = 0..3, so the 24-row strip kernel evaluates
+    four triangles from contiguous row slices of ONE 6-node gather
+    (1.5 gather/cotangent rows per triangle vs 2.0 for pairs, 3.0 for
+    triangles).  A pair P can extend a pair Q across a shared outer
+    edge ``s`` iff they INTERLOCK: the end-opposite vertex of each lies
+    on the other's internal edge (otherwise the 4-path has a fan turn
+    and no sliding encoding exists).  Greedy matching over interlocking
+    joins covers ~100% of pairs on structured meshes and ~97% on
+    Delaunay output (measured); leftovers ride as strips whose trailing
+    triangles are degenerate (repeated slots -> exactly-zero energy and
+    cotangent, the established filler convention).
+
+    Returns ``(strips [S, 6] int64, keep [S, 6] bool)`` — ``keep``
+    flags slots with a live cotangent (dead trailing slots of leftover
+    rows are excluded from incidence tables) — or None when the mesh
+    doesn't pair.
+    """
+    paired = pair_connectivity(connectivity)
+    if paired is None:
+        return None
+    real = paired[:, 3] != paired[:, 0]
+    rows = paired[real]
+    fillers = paired[~real]
+    r = rows.shape[0]
+
+    # candidate joins: the 4 outer edges per pair row (2 per end tri),
+    # with (row, p = the internal vertex on the edge, o = end opposite)
+    edges, meta = [], []
+    for k in (2, 3):
+        o = rows[:, k]
+        for j in (0, 1):
+            p = rows[:, j]
+            edges.append(np.stack([np.minimum(p, o),
+                                   np.maximum(p, o)], axis=1))
+            meta.append(np.stack([np.arange(r), p, o], axis=1))
+    e = np.concatenate(edges) if r else np.empty((0, 2), np.int64)
+    m = np.concatenate(meta) if r else np.empty((0, 3), np.int64)
+    nmax = int(connectivity.max()) + 1 if connectivity.size else 1
+    key = e[:, 0] * nmax + e[:, 1]
+    order = np.argsort(key, kind="stable")
+    ks, ms = key[order], m[order]
+    same = np.nonzero(ks[1:] == ks[:-1])[0]
+    a_m, b_m = ms[same], ms[same + 1]
+    valid = ((a_m[:, 0] != b_m[:, 0])
+             & (a_m[:, 2] == b_m[:, 1]) & (b_m[:, 2] == a_m[:, 1]))
+    a_m, b_m = a_m[valid], b_m[valid]
+    accept, matched = _greedy_match(a_m[:, 0], b_m[:, 0], r)
+
+    out, keep = [], []
+    ja, jb = a_m[accept], b_m[accept]
+    if ja.shape[0]:
+        ra, pa, oa = ja[:, 0], ja[:, 1], ja[:, 2]
+        rb, pb, ob = jb[:, 0], jb[:, 1], jb[:, 2]
+        # v-sequence (see docstring derivation): T1 = A's non-join tri,
+        # T2 = A's join tri, T3 = B's join tri, T4 = B's non-join tri
+        v0 = np.where(rows[ra, 3] == oa, rows[ra, 2], rows[ra, 3])
+        v2 = pa
+        v1 = np.where(rows[ra, 0] == pa, rows[ra, 1], rows[ra, 0])
+        v3 = oa                                   # == pb, on B.internal
+        v4 = np.where(rows[rb, 0] == v3, rows[rb, 1], rows[rb, 0])
+        v5 = np.where(rows[rb, 3] == ob, rows[rb, 2], rows[rb, 3])
+        strips = np.stack([v0, v1, v2, v3, v4, v5], axis=1)
+        out.append(strips)
+        keep.append(np.ones(strips.shape, bool))
+    rest = rows[~matched]
+    if rest.shape[0]:
+        # leftover pair (a, b | c, d): strip (c, a, b, d, b, d) — T3/T4
+        # degenerate, slots 4/5 dead
+        lp = np.stack([rest[:, 2], rest[:, 0], rest[:, 1], rest[:, 3],
+                       rest[:, 1], rest[:, 3]], axis=1)
+        out.append(lp)
+        km = np.ones(lp.shape, bool)
+        km[:, 4:] = False
+        keep.append(km)
+    if fillers.shape[0]:
+        # lone triangle (a, b, c): strip (a, b, c, b, c, b) — T2..T4
+        # degenerate, slots 3/4/5 dead
+        ft = np.stack([fillers[:, 0], fillers[:, 1], fillers[:, 2],
+                       fillers[:, 1], fillers[:, 2], fillers[:, 1]],
+                      axis=1)
+        out.append(ft)
+        km = np.ones(ft.shape, bool)
+        km[:, 3:] = False
+        keep.append(km)
+    if not out:
+        return None
+    strips = np.concatenate(out)
+    keep = np.concatenate(keep)
+    perm = np.argsort(strips.min(axis=1), kind="stable")
+    return strips[perm], keep[perm]
+
+
+def build_striped_assembly(connectivity: np.ndarray, n_nodes: int,
+                           window_limit: int = WINDOW_LIMIT,
+                           block_multiple: int = 1
+                           ) -> Optional[BandedAssembly]:
+    """Strip-merged BandedAssembly (``k=6``), or None when the mesh
+    doesn't strip / band.  Same table semantics as the paired tables;
+    the 24-row kernel in ``ops/banded_energy.py`` dispatches on row
+    count."""
+    sk = strip_connectivity(connectivity)
+    if sk is None:
+        return None
+    strips, keep = sk
+    inc = _incidence_k(strips, n_nodes, keep=keep)
+    return build_banded_assembly(strips, n_nodes, inc,
+                                 window_limit=window_limit,
+                                 block_multiple=block_multiple)
+
+
 def _incidence_k(conn: np.ndarray, n_nodes: int,
-                 skip_filler: bool = True) -> np.ndarray:
+                 skip_filler: bool = True,
+                 keep: Optional[np.ndarray] = None) -> np.ndarray:
     """[N, maxdeg] incidence into the flat [Nq*k] cotangent rows, -1
     padded (the builder's convention).  Filler slots (slot 3 == slot 0,
     see ``pair_connectivity``) are excluded: their cotangent is exactly
@@ -391,9 +500,12 @@ def _incidence_k(conn: np.ndarray, n_nodes: int,
     nq, k = conn.shape
     nodes = conn.reshape(-1)
     rows = np.arange(nodes.size, dtype=np.int64)
-    keep = np.ones(nodes.size, bool)
-    if skip_filler and k == 4:
-        keep[3::4] = conn[:, 3] != conn[:, 0]
+    if keep is not None:                   # explicit dead-slot mask
+        keep = np.asarray(keep, bool).reshape(-1)
+    else:
+        keep = np.ones(nodes.size, bool)
+        if skip_filler and k == 4:
+            keep[3::4] = conn[:, 3] != conn[:, 0]
     nodes, rows = nodes[keep], rows[keep]
     counts = np.bincount(nodes, minlength=n_nodes)
     maxdeg = max(int(counts.max()), 1)

@@ -54,6 +54,7 @@ def _load():
             lib.hdnn_outside_holes.restype = ctypes.c_int
             lib.hdnn_structured_cells.restype = ctypes.c_int
             lib.hdnn_greedy_color.restype = ctypes.c_int
+            lib.hdnn_greedy_match.restype = ctypes.c_int
             lib.hdnn_banded_plan.restype = ctypes.c_int
             lib.hdnn_banded_fill.restype = ctypes.c_int
             _lib = lib
@@ -157,6 +158,24 @@ def greedy_color(connectivity: np.ndarray, n_nodes: int) -> np.ndarray:
         n_colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     assert rc == 0
     return colors
+
+
+def greedy_match(a: np.ndarray, b: np.ndarray, ne: int):
+    """Native sequential first-come greedy maximal matching (exactly the
+    pure-Python loop in ``banded._greedy_match_first_come``)."""
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    accept = np.zeros(a.shape[0], dtype=np.uint8)
+    matched = np.zeros(ne, dtype=np.uint8)
+    rc = lib.hdnn_greedy_match(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(a.shape[0]), ctypes.c_int64(ne),
+        accept.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        matched.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0
+    return accept.astype(bool), matched.astype(bool)
 
 
 def structured_cells(nx: int, ny: int, variant: str = "zigzag"
