@@ -168,8 +168,14 @@ class TriMesh:
             import os
             if (banded is not None and build_banded != "nopair"
                     and not os.environ.get("HDNN_NO_PAIR")):
-                from .banded import build_paired_assembly
-                banded_paired = build_paired_assembly(conn_np, n)
+                from .banded import (build_paired_assembly,
+                                     build_striped_assembly)
+                if os.environ.get("HDNN_STRIPS"):
+                    # opt-in k=6 strip tables (4 triangles / 6 rows):
+                    # see strip_connectivity; falls back to pairs
+                    banded_paired = build_striped_assembly(conn_np, n)
+                if banded_paired is None:
+                    banded_paired = build_paired_assembly(conn_np, n)
 
         edges_np = np.asarray(neumann_edges)
         lattice = None

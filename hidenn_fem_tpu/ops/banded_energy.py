@@ -55,13 +55,18 @@ _BLK = 2048  # pallas lane-block within an element block
 
 
 def _lanes_any(g, E, nu, w_sum):
-    """Per-column element energies for either row layout: 12 rows =
+    """Per-column element energies for any row layout: 12 rows =
     triangles; 16 rows = edge-paired triangle pairs (``mesh/banded.py:
     pair_connectivity`` — slots (0,1,2) and (0,1,3) are the two
-    triangles, degenerate filler slots contribute exactly zero via the
-    eps-guarded det)."""
+    triangles); 24 rows = 4-triangle strips (``strip_connectivity`` —
+    sliding triples, triangle i is slots (i, i+1, i+2), so each
+    triangle's 12 rows are a CONTIGUOUS slice).  Degenerate filler
+    slots contribute exactly zero via the eps-guarded det."""
     if g.shape[0] == ROWS:
         return _block_energy_lanes(g, E, nu, w_sum)
+    if g.shape[0] == 24:
+        return sum(_block_energy_lanes(g[4 * i:4 * i + 12], E, nu, w_sum)
+                   for i in range(4))
     t1 = _block_energy_lanes(g[:12], E, nu, w_sum)
     g2 = jnp.concatenate([g[:8], g[12:16]], axis=0)
     return t1 + _block_energy_lanes(g2, E, nu, w_sum)

@@ -52,18 +52,34 @@ def main():
 
     paired = mesh
     nopair = dataclasses.replace(mesh, banded_paired=None)
+    variants = [("paired(k=4)", paired), ("triangle(k=3)", nopair)]
+
+    from hidenn_fem_tpu.mesh.banded import build_striped_assembly
+    import time
+    t0 = time.time()
+    ba6 = build_striped_assembly(np.asarray(mesh.connectivity),
+                                 mesh.n_nodes)
+    if ba6 is not None:
+        print(f"strip tables built in {time.time() - t0:.1f}s "
+              f"(k=6, {ba6.re_conn_rel.size} corner + "
+              f"{ba6.re_inc_rel.size} incidence entries)", flush=True)
+        variants.insert(0, ("strips(k=6)",
+                            dataclasses.replace(mesh, banded_paired=ba6)))
 
     # equality first (never time an unchecked variant)
     vg = jax.jit(jax.value_and_grad(
         lambda p, m: energy.domain_energy(p, m)))
-    v1, g1 = vg(params, paired)
     v2, g2 = vg(params, nopair)
-    assert np.isclose(float(v1), float(v2), rtol=1e-5), (v1, v2)
-    for k in g1:
-        a, b = np.asarray(g1[k]), np.asarray(g2[k])
-        np.testing.assert_allclose(a, b, rtol=5e-4,
-                                   atol=1e-5 * np.abs(b).max())
-    print("equality: paired == triangle (value + grads)", flush=True)
+    for tag, m in variants:
+        if m is nopair:
+            continue
+        v1, g1 = vg(params, m)
+        assert np.isclose(float(v1), float(v2), rtol=1e-5), (tag, v1, v2)
+        for k in g1:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            np.testing.assert_allclose(a, b, rtol=5e-4,
+                                       atol=1e-5 * np.abs(b).max())
+        print(f"equality: {tag} == triangle (value + grads)", flush=True)
 
     def step(p, m):
         val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
@@ -71,7 +87,7 @@ def main():
         return p, val
 
     results = {}
-    for tag, m in (("paired(k=4)", paired), ("triangle(k=3)", nopair)):
+    for tag, m in variants:
         dt = slope_time_scan(step, params, n1=10, n2=110, args=(m,))
         results[tag] = dt
         print(f"{tag:>14}: {dt * 1e3:7.3f} ms/step fwd+bwd", flush=True)
@@ -83,6 +99,14 @@ def main():
     print(f"speedup: {r:.3f}x  (row model: {rows_t}/{rows_p} = "
           f"{rows_t / rows_p:.3f}x; corner rows {ew_t}->{ew_p}, "
           f"incidence rows {inc_t}->{inc_p})", flush=True)
+    if "strips(k=6)" in results:
+        rs = results["triangle(k=3)"] / results["strips(k=6)"]
+        ew_s, inc_s = row_census(ba6, mesh.n_nodes)
+        print(f"strips: {rs:.3f}x vs triangle, "
+              f"{results['paired(k=4)'] / results['strips(k=6)']:.3f}x "
+              f"vs paired (row model {rows_t / (ew_s + inc_s):.3f}x / "
+              f"{rows_p / (ew_s + inc_s):.3f}x; corner {ew_s}, "
+              f"incidence {inc_s})", flush=True)
 
 
 if __name__ == "__main__":
