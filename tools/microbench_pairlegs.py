@@ -23,6 +23,31 @@ hoist it — the LICM gotcha in ``tools/microbench_rowpack.py``):
 
 Run (real chip): ``python -m tools.microbench_pairlegs [nx ny]``.
 CPU smoke: ``HDNN_INTERPRET=1 python -m tools.microbench_pairlegs 33 17``.
+
+## Measured (r5, 922K, v5e)
+
+  A corner gather   4.583 ms   (1.88M rows = 2.44 ns/row — AT rate)
+  A2 two-level      5.272 ms   (+0.689 vs A: NEGATIVE — the window
+                                gather is already in-block/fused, there
+                                is no faster second tier to regather
+                                from, even though windows carry 3.9x row
+                                redundancy)
+  B +vg kernel      5.157 ms   (+0.574: VPU)
+  C +transpose      5.157 ms   (+0.000: fused for free)
+  D +incidence     10.105 ms   (+4.948: 1.85M rows = 2.68 ns/row — AT
+                                rate; pairs' incidence has ~zero padding,
+                                avg live degree 3.99 of maxdeg 4)
+  F production     11.696 ms   (D + custom_vjp/packed-nodes/update
+                                plumbing)
+
+CONCLUSION: the paired step is gather-ROW-bound end to end; both legs
+run at the measured per-row rate, so the 9.31 ms row floor is the real
+floor for any 2.0-rows/triangle layout.  The denser 1.5-rows/triangle
+strip layout (``mesh/banded.py:strip_connectivity``) measured NEGATIVE
+(14.20 vs 11.68 ms, ``tools/microbench_pairab.py``): its sliding 12-row
+kernel slices are sublane-misaligned (Mosaic relayouts) and the
+incidence table is maxdeg-PADDED — strips cut live entries 25% but
+maxdeg stays 4, so the incidence gather does not shrink at all.
 """
 import dataclasses
 import os
