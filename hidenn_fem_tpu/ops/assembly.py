@@ -61,13 +61,29 @@ def _fwd(node, conn, incidence):
     return flat_gather(node, conn), (conn, incidence, node.shape)
 
 
+def incidence_gather_sum(table, inc):
+    """Sum incident rows ``table[inc[:, k]]`` over the degree axis as K
+    separate per-slot gathers, NOT one flat [N*K] gather+reshape+sum:
+    when the [N, F] result is an output (grad rows, scan ys), XLA keeps
+    each per-slot gather fused into the elementwise add tree and the
+    chain runs at the per-row gather rate, while the flat form
+    materializes the unfused [N*K, F] gather result and pays the
+    lost-fusion penalty (~2 ms at 922K banded;
+    ``tools/microbench_pairlegs.py`` legs D2 vs D3: 12.14 -> 9.29
+    ms/step on v5e)."""
+    g = table[inc[:, 0]]
+    for k in range(1, inc.shape[1]):
+        g = g + table[inc[:, k]]
+    return g
+
+
 def _bwd(res, ct):
     conn, incidence, node_shape = res
     f = ct.shape[-1]
     ct_flat = ct.reshape(-1, f)
     ct_flat = jnp.concatenate(
         [ct_flat, jnp.zeros((1, f), ct_flat.dtype)], axis=0)
-    grad_node = jnp.sum(flat_gather(ct_flat, incidence), axis=1)
+    grad_node = incidence_gather_sum(ct_flat, incidence)
     return grad_node, None, None
 
 
@@ -116,7 +132,7 @@ def _banded_bwd(res, ct):
         win = jax.lax.dynamic_slice(ct_flat, (s, 0), (wct, f))
         win = jnp.concatenate(
             [win, jnp.zeros((1, f), win.dtype)], axis=0)
-        return None, jnp.sum(flat_gather(win, rel), axis=1)  # [NB, F]
+        return None, incidence_gather_sum(win, rel)    # [NB, F]
 
     _, out = jax.lax.scan(body, None, (ba.inc_rel, ba.ct_starts))
     grad_node = out.reshape(-1, f)[:n_nodes]

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .assembly import incidence_gather_sum as _inc_gather_sum
 from .pallas_energy import _block_energy_lanes, ROWS
 
 __all__ = ["banded_element_energy"]
@@ -251,8 +252,7 @@ def _recompute_bwd(node, ba, E, nu, w_sum, interpret, ct, row_start):
         # [EWp, 16] directly was measured SLOWER (43.7 vs 32.5 ms/step at
         # 922K) than this XLA transpose.
         cot3 = _cot_rows(cotT, ew, f)
-        g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
-        return None, jnp.sum(g, axis=1)                    # [NBr, F]
+        return None, _inc_gather_sum(cot3, rel3)           # [NBr, F]
 
     _, out = jax.lax.scan(
         body, None, (ba.re_conn_rel, ba.re_nstarts, ba.re_inc_rel))
@@ -287,8 +287,7 @@ def _recompute_vg(node, ba, E, nu, w_sum, interpret, row_start):
         gT = _gather_block_T(node, conn_rel, ns, wn)        # [12, EWp]
         part, cotT = _pallas_vg(gT, ow[None, :], E, nu, w_sum, interpret)
         cot3 = _cot_rows(cotT, ew, f)
-        g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
-        return None, (part, jnp.sum(g, axis=1))             # [NBr, F]
+        return None, (part, _inc_gather_sum(cot3, rel3))    # [NBr, F]
 
     _, (parts, out) = jax.lax.scan(
         body, None, (ba.re_conn_rel, ba.re_nstarts, ba.re_inc_rel, own))
@@ -323,8 +322,7 @@ def _two_pass_bwd(node, ba, E, nu, w_sum, interpret, ct):
         win = jax.lax.dynamic_slice(ct_flat, (s, 0), (wct, f))
         win = jnp.concatenate(
             [win, jnp.zeros((1, f), win.dtype)], axis=0)
-        g = win[rel.reshape(-1)].reshape(*rel.shape, f)
-        return None, jnp.sum(g, axis=1)                  # [NB, F]
+        return None, _inc_gather_sum(win, rel)           # [NB, F]
 
     _, out = jax.lax.scan(body2, None, (ba.inc_rel, ba.ct_starts))
     return out.reshape(-1, f)[:node.shape[0]]

@@ -14,6 +14,16 @@ projected (the 65K matched-apparatus measurement was 2.0x;
 ``tools/microbench_quadpair.py``).
 
 Run (real chip): ``python -m tools.microbench_pairab [nx ny]``.
+
+## Measured (r5, 922K, v5e)
+
+Pre split-gather backward: paired 11.69 / triangle 18.21 ms/step
+(1.558x, vs the 1.500x row model at this scale).  AFTER the split
+per-slot incidence gather landed in the recompute backward
+(``ops/assembly.py:incidence_gather_sum``; probe legs D2 vs D3 in
+``tools/microbench_pairlegs.py``): paired **8.295** / strips 8.865 /
+triangle 14.894 ms/step — pairing now 1.796x, and every banded layout
+moved because they share the backward.
 """
 import dataclasses
 import sys

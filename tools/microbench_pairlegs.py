@@ -40,9 +40,37 @@ CPU smoke: ``HDNN_INTERPRET=1 python -m tools.microbench_pairlegs 33 17``.
   F production     11.696 ms   (D + custom_vjp/packed-nodes/update
                                 plumbing)
 
-CONCLUSION: the paired step is gather-ROW-bound end to end; both legs
-run at the measured per-row rate, so the 9.31 ms row floor is the real
-floor for any 2.0-rows/triangle layout.  The denser 1.5-rows/triangle
+The ~1.6 ms of plumbing above leg D splits as (same run, chip):
+
+  D2 rows leave scan  12.141 ms  (+2.04 vs D: emitting the [NBr, F]
+                                  grad rows as scan ys costs the
+                                  incidence gather its in-block fusion
+                                  — the measured "gather fused with its
+                                  consumer is 2-3x faster" effect; the
+                                  7.4 MB of ys bytes alone price at
+                                  ~10 us)
+  E custom_vjp vg     12.442 ms  (+0.30 vs D2: custom_vjp wrapper +
+                                  grad-buffer placement)
+  F production        11.697 ms  (model packing + optimizer update are
+                                  FREE — F <= E within run jitter)
+  D3 split gathers     9.289 ms  (D2 with the incidence gather SPLIT
+                                  into one gather per degree slot,
+                                  summed elementwise: XLA fuses the
+                                  adds into the gathers, the [NBr, F]
+                                  ys materialize at row rate — and the
+                                  chain lands AT the 9.31 ms row-floor
+                                  estimate, 2.85 ms under D2)
+
+OUTCOME: leg D3 became production (``ops/assembly.py:
+incidence_gather_sum``, used by every banded backward / vg and the
+unstructured ``gather_with_incidence``): paired 922K step 11.69 ->
+**8.295 ms** on chip (``tools/microbench_pairab.py``; triangle route
+14.89, strips 8.87 — all layouts share the backward).  The production
+step now runs ~1.0 ms BELOW the conservative 2.5 ns/row floor pricing:
+the per-slot gathers stream [NBr]-row index vectors instead of the
+flat [NBr*4] interleave, which both restores fusion and beats the flat
+gather's effective row rate.  Remaining above-gather cost: the vg
+kernel (+0.57) and the ~0.3 ms custom_vjp/buf plumbing.  The denser 1.5-rows/triangle
 strip layout (``mesh/banded.py:strip_connectivity``) measured NEGATIVE
 (14.20 vs 11.68 ms, ``tools/microbench_pairab.py``): its sliding 12-row
 kernel slices are sublane-misaligned (Mosaic relayouts) and the
@@ -187,6 +215,42 @@ def main():
                                      ba.re_inc_rel, own))
         return jnp.sum(p)
 
+    def leg_d2(nd):
+        # D + the grad rows LEAVE the scan as ys (production shape),
+        # but no custom_vjp wrapper / buf placement: isolates the
+        # materialization cost of emitting [NBr, F] per block vs leg D's
+        # in-block scalar reduce.
+        def body(_, inp):
+            rel, ns, rel3, ow = inp
+            gT = _gather_block_T(nd, rel, ns, wn)
+            part, cotT = _pallas_vg(gT, ow[None, :], E, nu, w_sum, interp)
+            cot3 = _cot_rows(cotT, ew, f)
+            g = cot3[rel3.reshape(-1)].reshape(*rel3.shape, f)
+            return None, (part, jnp.sum(g, axis=1))
+        _, (parts, out) = lax.scan(
+            body, None, (ba.re_conn_rel, ba.re_nstarts,
+                         ba.re_inc_rel, own))
+        return jnp.sum(parts) + jnp.sum(out)
+
+    def leg_d3(nd):
+        # D2 with the incidence gather SPLIT per degree slot: 4 gathers
+        # of [NBr] rows each, summed elementwise — XLA can fuse the adds
+        # into the gathers, producing the [NBr, F] ys directly instead
+        # of materializing the unfused [NBr*4, F] gather result.
+        def body(_, inp):
+            rel, ns, rel3, ow = inp
+            gT = _gather_block_T(nd, rel, ns, wn)
+            part, cotT = _pallas_vg(gT, ow[None, :], E, nu, w_sum, interp)
+            cot3 = _cot_rows(cotT, ew, f)
+            g = cot3[rel3[:, 0]]
+            for k in range(1, rel3.shape[1]):
+                g = g + cot3[rel3[:, k]]
+            return None, (part, g)
+        _, (parts, out) = lax.scan(
+            body, None, (ba.re_conn_rel, ba.re_nstarts,
+                         ba.re_inc_rel, own))
+        return jnp.sum(parts) + jnp.sum(out)
+
     energy = ht.PlaneStressEnergy(model=model, E=E, nu=nu)
 
     # equality spot-check: two-level gather reproduces the flat gather
@@ -195,32 +259,58 @@ def main():
     np.testing.assert_allclose(float(ga), float(ga2), rtol=1e-6)
     print("equality: two-level == flat corner gather", flush=True)
 
+    # HDNN_LEGS=D,D2,E,F reruns a subset (comma-separated leg ids)
+    sel = os.environ.get("HDNN_LEGS")
+    want = set(sel.split(",")) if sel else None
+
+    def _run(leg_id, tag, fn, args=()):
+        if want is not None and leg_id not in want:
+            return None
+        results[tag] = _timed(tag, fn, node, args)
+        return results[tag]
+
     results = {}
-    results["A corner gather"] = _timed("A corner gather", leg_a, node, ())
-    results["A2 two-level gather"] = _timed("A2 two-level gather",
-                                            leg_a2, node, ())
-    results["B +vg kernel"] = _timed("B +vg kernel", leg_b, node, ())
-    results["C +transpose"] = _timed("C +transpose", leg_c, node, ())
-    results["D +incidence (full chain)"] = _timed(
-        "D +incidence (full chain)", leg_d, node, ())
+    _run("A", "A corner gather", leg_a)
+    _run("A2", "A2 two-level gather", leg_a2)
+    _run("B", "B +vg kernel", leg_b)
+    _run("C", "C +transpose", leg_c)
+    _run("D", "D +incidence (full chain)", leg_d)
+
+    # E: value_and_grad through the custom_vjp route on the node table
+    # directly — isolates custom_vjp + gradient placement (E - D) from
+    # model packing / unpacking / optimizer update (F - E)
+    from hidenn_fem_tpu.ops.banded_energy import banded_element_energy
+
+    def leg_e(nd):
+        val, g = jax.value_and_grad(
+            lambda q: banded_element_energy(q, ba, E, nu, w_sum,
+                                            interp))(nd)
+        return val + jnp.sum(g)
+
+    _run("D2", "D2 +rows leave scan", leg_d2)
+    _run("D3", "D3 split-gather rows out", leg_d3)
+    _run("E", "E custom_vjp vg", leg_e)
 
     def prod_step(p, m):
         val, grads = jax.value_and_grad(lambda q: energy(q, m))(p)
         p = jax.tree.map(lambda x, g: x - 1e-15 * g, p, grads)
         return p, val
 
-    dt = slope_time_scan(prod_step, params, n1=10, n2=110, args=(mesh,))
-    print(f"{'F production vg step':>34}: {dt * 1e3:7.3f} ms/step",
-          flush=True)
-    a = results["A corner gather"]
-    b = results["B +vg kernel"]
-    c = results["C +transpose"]
-    d = results["D +incidence (full chain)"]
-    print(f"marginals: kernel {1e3 * (b - a):.3f} ms, transpose "
-          f"{1e3 * (c - b):.3f} ms, incidence {1e3 * (d - c):.3f} ms; "
-          f"two-level vs flat corner: "
-          f"{1e3 * (results['A2 two-level gather'] - a):+.3f} ms",
-          flush=True)
+    if want is None or "F" in want:
+        dt = slope_time_scan(prod_step, params, n1=10, n2=110,
+                             args=(mesh,))
+        print(f"{'F production vg step':>34}: {dt * 1e3:7.3f} ms/step",
+              flush=True)
+    if want is None:
+        a = results["A corner gather"]
+        b = results["B +vg kernel"]
+        c = results["C +transpose"]
+        d = results["D +incidence (full chain)"]
+        print(f"marginals: kernel {1e3 * (b - a):.3f} ms, transpose "
+              f"{1e3 * (c - b):.3f} ms, incidence {1e3 * (d - c):.3f} ms; "
+              f"two-level vs flat corner: "
+              f"{1e3 * (results['A2 two-level gather'] - a):+.3f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
