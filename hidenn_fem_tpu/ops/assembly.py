@@ -61,8 +61,20 @@ def _fwd(node, conn, incidence):
     return flat_gather(node, conn), (conn, incidence, node.shape)
 
 
+# Below this many output rows the split per-slot form LOSES: each of the
+# K separate gathers pays a fixed per-op cost that small shapes cannot
+# amortize — the 2.5K-row hybrid collar measured 1723 us/step split vs
+# 377 flat (tools/microbench_collar.py), while the ~29K-row banded node
+# blocks measured 9.29 ms split vs 12.14 flat at 922K
+# (tools/microbench_pairlegs.py legs D2/D3).  Both forms are exactly
+# equal; the gate is a trace-time static-shape branch.
+_SPLIT_MIN_ROWS = 16384
+
+
 def incidence_gather_sum(table, inc):
-    """Sum incident rows ``table[inc[:, k]]`` over the degree axis as K
+    """Sum incident rows ``table[inc[:, k]]`` over the degree axis.
+
+    For large outputs (>= ``_SPLIT_MIN_ROWS`` rows) this issues K
     separate per-slot gathers, NOT one flat [N*K] gather+reshape+sum:
     when the [N, F] result is an output (grad rows, scan ys), XLA keeps
     each per-slot gather fused into the elementwise add tree and the
@@ -70,10 +82,25 @@ def incidence_gather_sum(table, inc):
     materializes the unfused [N*K, F] gather result and pays the
     lost-fusion penalty (~2 ms at 922K banded;
     ``tools/microbench_pairlegs.py`` legs D2 vs D3: 12.14 -> 9.29
-    ms/step on v5e)."""
+    ms/step on v5e).  Small outputs keep the flat form (see
+    ``_SPLIT_MIN_ROWS``)."""
+    if inc.shape[0] < _SPLIT_MIN_ROWS:
+        return jnp.sum(flat_gather(table, inc), axis=1)
     g = table[inc[:, 0]]
     for k in range(1, inc.shape[1]):
         g = g + table[inc[:, k]]
+    return g
+
+
+def weighted_incidence_gather_sum(table, inc, w):
+    """``incidence_gather_sum`` with a per-slot weight: returns
+    ``sum_k w[:, k, None] * table[inc[:, k]]`` as K fused per-slot
+    gathers above the same size gate (see ``_SPLIT_MIN_ROWS``)."""
+    if inc.shape[0] < _SPLIT_MIN_ROWS:
+        return jnp.sum(w[..., None] * flat_gather(table, inc), axis=1)
+    g = w[:, 0, None] * table[inc[:, 0]]
+    for k in range(1, inc.shape[1]):
+        g = g + w[:, k, None] * table[inc[:, k]]
     return g
 
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.structured_grid import StructuredGrid, StructuredGridP1
+from ..ops import assembly
 from . import multigrid as mg
 from .linear import _tree_axpy, jacobi_diagonal
 
@@ -561,25 +562,28 @@ def _apply_aux(bg_model, pre: _AuxPrecond, r, g0s=None):
             win = jax.lax.dynamic_slice(rf, (s, 0), (w, 2))
             win = jnp.concatenate(
                 [win, jnp.zeros((1, 2), rf.dtype)], axis=0)
-            g = win[rel.reshape(-1)].reshape(*rel.shape, 2)
-            return None, jnp.sum(wts[..., None] * g, axis=1)
+            # per-slot gathers keep the gather fused with the weighted
+            # add tree even though the rows leave the scan as ys
+            # (ops/assembly.py:incidence_gather_sum rationale)
+            return None, assembly.weighted_incidence_gather_sum(
+                win, rel, wts)
 
         _, out = jax.lax.scan(
             body, None, (pre.ptw_rel, pre.ptw_w, pre.ptw_starts))
         r_bg = out.reshape(-1, 2)[:nb_nx * nb_ny].reshape(
             nb_nx, nb_ny, 2)
     else:
-        # flat P^T: fine-node incidence gather
+        # flat P^T: fine-node incidence gather (per-slot, fused)
         r_pad = jnp.concatenate([rf, jnp.zeros((1, 2), r.dtype)])
-        gath = r_pad[pre.pt_idx].reshape(*pre.pt_w.shape, 2)
-        r_bg = jnp.sum(pre.pt_w[..., None] * gath, axis=1).reshape(
-            nb_nx, nb_ny, 2)
+        r_bg = assembly.weighted_incidence_gather_sum(
+            r_pad, pre.pt_idx.reshape(pre.pt_w.shape),
+            pre.pt_w).reshape(nb_nx, nb_ny, 2)
     # one V-cycle of the background operator
     z_bg = mg.vcycle(bg_model, pre.levels, r_bg,
                      g0s=g0s).reshape(-1, 2)
-    # P z_bg: four weighted corner rows per fine node
-    zc = z_bg[pre.p_idx].reshape(-1, 4, 2)
-    z_coarse = jnp.sum(pre.p_w[..., None] * zc, axis=1)
+    # P z_bg: four weighted corner rows per fine node (per-slot, fused)
+    z_coarse = assembly.weighted_incidence_gather_sum(
+        z_bg, pre.p_idx.reshape(-1, 4), pre.p_w)
     return pre.free * (pre.omega * pre.dinv * r + z_coarse)
 
 

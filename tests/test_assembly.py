@@ -82,3 +82,39 @@ def test_incidence_backward_with_padding():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-6, atol=1e-10)
+
+
+def test_incidence_gather_sum_matches_flat():
+    """The split per-slot gather-sum (fusion-preserving backward form,
+    ops/assembly.py) must equal the flat [N*K] gather + reshape +
+    axis-sum it replaced, including -1 sentinel slots (which wrap to the
+    appended zeros row)."""
+    from hidenn_fem_tpu.ops import assembly as asm
+    from hidenn_fem_tpu.ops.assembly import (incidence_gather_sum,
+                                             weighted_incidence_gather_sum)
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(41, 3)).astype(np.float32))
+    # last row is the zeros/sentinel row, as every call site arranges
+    table = table.at[-1].set(0.0)
+    inc = rng.integers(0, 40, size=(29, 5)).astype(np.int32)
+    inc[rng.random(inc.shape) < 0.3] = -1
+    inc = jnp.asarray(inc)
+    w = jnp.asarray(rng.normal(size=(29, 5)).astype(np.float32))
+
+    flat = jnp.sum(table[inc.reshape(-1)].reshape(29, 5, 3), axis=1)
+    wflat = jnp.sum(w[..., None] * table[inc.reshape(-1)].reshape(29, 5, 3),
+                    axis=1)
+    # exercise BOTH sides of the size gate (the split form above
+    # _SPLIT_MIN_ROWS output rows, the flat form below it)
+    saved = asm._SPLIT_MIN_ROWS
+    for thresh in (saved, 1):
+        asm._SPLIT_MIN_ROWS = thresh
+        try:
+            np.testing.assert_allclose(
+                np.asarray(incidence_gather_sum(table, inc)),
+                np.asarray(flat), rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(weighted_incidence_gather_sum(table, inc, w)),
+                np.asarray(wflat), rtol=1e-6, atol=1e-6)
+        finally:
+            asm._SPLIT_MIN_ROWS = saved
