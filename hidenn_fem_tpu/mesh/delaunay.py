@@ -197,10 +197,11 @@ def generate_mesh_delaunay(
     each element block's node window across the whole table, which
     defeats the blocked-window assembly (measured 47.9 ms/step vs ~20
     banded at 900K elements on v5e); RCM restores the locality the
-    structured generator gets for free (measured with it: 12.96 ms/step
-    fwd+bwd at 898K elements with quad-paired tables, matching the
-    proxy-mesh banded row; aux-space PCG solve 21 iters / 0.787 s warm
-    — tools/microbench_delaunay).
+    structured generator gets for free (measured with it: 10.33 ms/step
+    fwd+bwd at 898K elements with quad-paired tables + split incidence
+    gathers, tracking the proxy-mesh banded row; aux-space PCG solve
+    0.79-0.89 s warm, 21-28 iters — the count wobbles because tol=1e-6
+    sits at the f32 residual floor — tools/microbench_delaunay).
     Disable only to inspect the raw ordering.
     """
     if boundaries is None:

@@ -162,7 +162,7 @@ def greedy_color(connectivity: np.ndarray, n_nodes: int) -> np.ndarray:
 
 def greedy_match(a: np.ndarray, b: np.ndarray, ne: int):
     """Native sequential first-come greedy maximal matching (exactly the
-    pure-Python loop in ``banded._greedy_match_first_come``)."""
+    pure-Python fallback loop in ``banded._greedy_match``)."""
     lib = _load()
     a = np.ascontiguousarray(a, dtype=np.int64)
     b = np.ascontiguousarray(b, dtype=np.int64)
