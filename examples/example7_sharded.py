@@ -55,8 +55,10 @@ def main(nx: int = 129, ny: int = 65, n_devices: int = 8,
     print(f"device mesh: {dmesh.devices.size} x "
           f"{dmesh.devices[0].platform}")
     banded = sh.reband_for_shards(mesh, n_devices, window_limit=50_000)
-    print(f"banded blocks: fwd {banded.banded.starts.shape[0]}, "
-          f"bwd {banded.banded.re_nstarts.shape[0]} "
+    tbl = (banded.banded_paired if banded.banded_paired is not None
+           else banded.banded)
+    print(f"banded blocks (k={tbl.k}): fwd {tbl.starts.shape[0]}, "
+          f"bwd {tbl.re_nstarts.shape[0]} "
           f"({n_devices} devices x contiguous slices)")
 
     model = ht.TriangleP1()

@@ -58,7 +58,11 @@ def _load():
             lib.hdnn_banded_plan.restype = ctypes.c_int
             lib.hdnn_banded_fill.restype = ctypes.c_int
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale prebuilt .so from an older checkout
+            # is missing a newer symbol — fall back to numpy rather than
+            # crash the first native call (rebuild with
+            # `python -m hidenn_fem_tpu.mesh.native --build`)
             _lib = None
     return _lib
 

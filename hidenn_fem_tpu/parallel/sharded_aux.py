@@ -111,7 +111,12 @@ def aux_pcg_solve_sharded(energy, mesh, params,
         # row-sharded slice route — no banded tables needed
         u_loss = _sharded_lattice_u_loss(energy, dmesh)
     else:
-        ba = mesh.banded
+        # gate on the SAME table shard_map_banded_energy will select
+        # (paired preferred): an auto-built paired table with a
+        # non-divisible block count must trigger a reband even when the
+        # triangle tables happen to divide
+        ba = (mesh.banded_paired if mesh.banded_paired is not None
+              else mesh.banded)
         if (ba is None or ba.re_conn_rel is None
                 or ba.starts.shape[0] % D or ba.re_nstarts.shape[0] % D):
             mesh = sh.reband_for_shards(mesh, D)

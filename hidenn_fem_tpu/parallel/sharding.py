@@ -174,35 +174,38 @@ def reband_for_shards(tri: TriMesh, n_shards: int,
     ``n_shards`` so ``shard_map_banded_energy`` can hand each device a
     contiguous slice of element/node blocks.
 
-    ``pair=True`` (default) also rebuilds the quad-paired tables
-    (``mesh/banded.py:build_paired_assembly``) with the same block
+    ``pair=True`` (default) builds the quad-paired tables
+    (``mesh/banded.py:build_paired_assembly``) with the device block
     multiple, so the sharded path runs the SAME table layout as the
     single-device production route (the measured ~1.56x pairing win at
-    922K carries over per device).  Set False — or export HDNN_NO_PAIR —
-    to shard the triangle tables only."""
+    922K carries over per device).  Only the table set that will
+    actually run is built and shipped (``shard_map_banded_energy``
+    prefers paired): when pairing succeeds the triangle tables are
+    dropped rather than duplicated on every device.  Set ``pair=False``
+    — or export HDNN_NO_PAIR — to shard the triangle tables only."""
     import os
     from ..mesh.banded import (build_banded_assembly,
                                build_paired_assembly, WINDOW_LIMIT)
     from ..mesh.types import build_incidence_table
 
     conn = np.asarray(tri.connectivity)
+    wl = window_limit or WINDOW_LIMIT
+    if pair and not os.environ.get("HDNN_NO_PAIR"):
+        paired = build_paired_assembly(conn, tri.n_nodes,
+                                       window_limit=wl,
+                                       block_multiple=n_shards)
+        if paired is not None and paired.re_conn_rel is not None:
+            return dataclasses.replace(tri, banded=None,
+                                       banded_paired=paired)
     inc = (np.asarray(tri.incidence) if tri.incidence is not None
            else build_incidence_table(conn, tri.n_nodes))
-    wl = window_limit or WINDOW_LIMIT
     ba = build_banded_assembly(conn, tri.n_nodes, inc,
                                window_limit=wl, block_multiple=n_shards)
     if ba is None or ba.re_conn_rel is None:
         raise ValueError(
             f"mesh not bandable with block counts divisible by {n_shards} "
             "(try reorder_mesh or a larger window_limit)")
-    paired = None
-    if pair and not os.environ.get("HDNN_NO_PAIR"):
-        paired = build_paired_assembly(conn, tri.n_nodes,
-                                       window_limit=wl,
-                                       block_multiple=n_shards)
-        if paired is not None and paired.re_conn_rel is None:
-            paired = None
-    return dataclasses.replace(tri, banded=ba, banded_paired=paired)
+    return dataclasses.replace(tri, banded=ba, banded_paired=None)
 
 
 def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
@@ -260,7 +263,7 @@ def shard_map_banded_energy(energy, dmesh: Mesh, axis: str = ELEM_AXIS):
                 re_own_lo=ow[:, 0] if has_own else None,
                 re_own_hi=ow[:, 1] if has_own else None,
                 wnode=ba.wnode, wct=0,
-                re_wnode=ba.re_wnode, re_ew=ba.re_ew)
+                re_wnode=ba.re_wnode, re_ew=ba.re_ew, k=ba.k)
             part = _banded_energy_rows(node_rep, ba_loc, E, nu, w_sum,
                                        interpret, rs[0])
             return jax.lax.psum(part, axis)

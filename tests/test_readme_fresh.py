@@ -14,14 +14,13 @@ paragraph and example-JSON block are owned by
    which historically moves <20%/round).
 """
 
-import glob
 import os
 import re
 
 import pytest
 
-from tools.update_readme_bench import (ROOT, load_bench, render_headline,
-                                       render_json)
+from tools.update_readme_bench import (ROOT, latest_bench_path, load_bench,
+                                       render_headline, render_json)
 
 README = os.path.join(ROOT, "README.md")
 
@@ -53,10 +52,10 @@ def test_readme_blocks_are_tool_output():
 
 
 def test_readme_headline_fresh_vs_latest_bench():
-    cands = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not cands:
+    newest = latest_bench_path()
+    if newest is None:
         pytest.skip("no BENCH_r*.json artifacts in this checkout")
-    latest, _ = load_bench(cands[-1])
+    latest, _ = load_bench(newest)
     if not latest.get("value"):
         pytest.skip("latest bench artifact recorded an outage")
     with open(README) as f:
@@ -67,7 +66,7 @@ def test_readme_headline_fresh_vs_latest_bench():
     value = float(m.group(1)) * 10 ** int(m.group(2))
     assert abs(value - latest["value"]) <= 0.25 * latest["value"], (
         f"README headline {value:.3g} qp/s is stale vs "
-        f"{cands[-1]} {latest['value']:.3g} — run "
+        f"{newest} {latest['value']:.3g} — run "
         "python -m tools.update_readme_bench")
     m = re.search(r"~([\d,]+)× the PyTorch", headline)
     assert m, "headline vs_baseline not found"
