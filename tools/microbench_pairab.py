@@ -24,6 +24,11 @@ per-slot incidence gather landed in the recompute backward
 ``tools/microbench_pairlegs.py``): paired **8.295** / strips 8.865 /
 triangle 14.894 ms/step — pairing now 1.796x, and every banded layout
 moved because they share the backward.
+
+At 3.7M elements (``1921 961``): paired **35.03** / strips 36.08 /
+triangle 63.61 ms/step (1.816x, row model 1.500x) — 4.22x the 922K
+step for exactly 4.0x the elements, so the paired+split route scales
+essentially O(N) through the >256K gather-rate regime.
 """
 import dataclasses
 import sys
